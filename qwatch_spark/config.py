@@ -1,0 +1,79 @@
+"""Validated pipeline configuration.
+
+The reference layers YAML + CLI flags (/root/reference/cmd/server.go:12-73,
+server/server.go:23-28) but never validates keys — its own sample config
+sets ``handlers:`` while the code reads ``outputs``
+(/root/reference/resources/qwatch.yml:4 vs server/server.go:67), and an
+unknown plugin name panics via nil interface (server/server.go:42-58).
+We validate strictly: unknown keys and unknown plugin names are errors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+KNOWN_FILTER_RULES = (
+    "lang_gate",
+    "extract_text",
+    "valid_url",
+    "min_html_bytes",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Declarative pipeline spec: sources → filter rules → sink.
+
+    The analog of the reference's inputs/filters/outputs CSV plugin lists
+    (cmd/server.go:56-60), with the filter stage actually wired (the
+    reference scaffolds but never activates it, server/server.go:60-64).
+    """
+
+    # filter rules applied in order between source and sink (F7 gap)
+    rules: tuple[str, ...] = ("valid_url", "lang_gate", "extract_text")
+    # languages kept by the lang_gate rule
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es")
+    # minimum html payload size for min_html_bytes rule
+    min_html_bytes: int = 1
+    # number of hash buckets of the target table (scale knob: at 100 TB
+    # with ~1 GB target bucket files this would be ~100_000; tests use 8)
+    n_buckets: int = 64
+    # salt fan-out for the skewed dedup stage (0 disables salting)
+    n_salt: int = 8
+    # rename map applied to incoming feed columns before evolution
+    # resolution: {feed_column_name: canonical_name}
+    rename_map: dict[str, str] = dataclasses.field(default_factory=dict)
+    # bounded-run knob: max feed files per streaming micro-batch
+    max_files_per_trigger: int = 16
+
+    def __post_init__(self) -> None:
+        unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]
+        if unknown:
+            raise ValueError(
+                f"unknown filter rule(s) {unknown}; known: {list(KNOWN_FILTER_RULES)}"
+            )
+        if self.n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if self.n_salt < 0:
+            raise ValueError("n_salt must be >= 0")
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "PipelineConfig":
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - field_names
+        if unknown:
+            raise ValueError(
+                f"unknown config key(s) {sorted(unknown)}; known: {sorted(field_names)}"
+            )
+        coerced = dict(raw)
+        for key in ("rules", "keep_langs"):
+            if key in coerced and isinstance(coerced[key], list):
+                coerced[key] = tuple(coerced[key])
+        return cls(**coerced)
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "PipelineConfig":
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))

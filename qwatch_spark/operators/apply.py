@@ -1,0 +1,207 @@
+"""apply_changes — the CDC apply hot path (SURVEY.md §3.2, Spark-first).
+
+Reference hot path: one event → one synchronous Bolt round-trip into a
+MERGE (/root/reference/outputs/neo4j.go:38-54, 308-318) — row-at-a-time,
+at-most-once. Ours is set-oriented per micro-batch:
+
+    feed batch
+      → rename map + filter rules (vectorized; the F7 stage)
+      → schema-evolution resolve vs target (north_rule)
+      → dedup-to-latest per url on (warc_ts, seq)   [W1, skew-aware]
+      → bucket pruning: read ONLY touched buckets of the target
+      → full-outer merge with a latest-wins guard
+        (`WHEN MATCHED AND s.(warc_ts,seq) >= t.(warc_ts,seq)`) —
+        late/out-of-order events can never regress state
+      → atomic epoch-tagged commit (idempotent re-delivery)
+      → per-bucket lineage metrics + commit-log row.
+
+Deletes become tombstones (is_deleted=true, payload nulled) so an older
+update arriving after a delete cannot resurrect the key — the
+(warc_ts, seq) total order is authoritative, mirroring the reference's
+destroy handler keeping the destroyed node with `destroyed` stamped
+(outputs/neo4j.go:231-248).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.operators.dedup import latest_wins
+from qwatch_spark.operators.evolution import resolve_schema
+from qwatch_spark.operators.rules import apply_rules
+from qwatch_spark.plans.snapshot_table import SnapshotTable, bucket_expr
+from qwatch_spark.schema import METRICS_SCHEMA
+
+
+@dataclass
+class ApplyStats:
+    epoch_id: int
+    skipped: bool
+    n_events: int
+    n_upserts: int
+    n_deletes: int
+    touched_buckets: int
+    wall_ms: int
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.n_events / max(self.wall_ms, 1) * 1000.0
+
+
+def merge_cdc(
+    current: DataFrame, updates: DataFrame, epoch_id: int, payload_cols: list[str]
+) -> DataFrame:
+    """Full-outer key merge with latest-wins guard; returns new bucket
+    contents (payload + bookkeeping). `updates` must be deduped to one
+    row per url and carry (op, warc_ts, seq)."""
+    c, u = current.alias("c"), updates.alias("u")
+    joined = c.join(u, F.col("c.url") == F.col("u.url"), "full_outer")
+
+    take_u = F.col("u.url").isNotNull() & (
+        F.col("c.url").isNull()
+        | (
+            F.struct(F.col("u.warc_ts"), F.col("u.seq"))
+            >= F.struct(F.col("c.warc_ts"), F.col("c.seq"))
+        )
+    )
+    # normalize the applied opcode: I if the key was absent/tombstoned,
+    # U if it replaced a live row, D for tombstoning (metrics semantics)
+    applied_op = (
+        F.when(F.col("u.op") == "D", F.lit("D"))
+        .when(F.col("c.url").isNull() | F.col("c.is_deleted"), F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+
+    cols = [F.coalesce(F.col("u.url"), F.col("c.url")).alias("url")]
+    for p in payload_cols:
+        if p == "url":
+            continue
+        cols.append(
+            F.when(take_u, F.col(f"u.{p}")).otherwise(F.col(f"c.{p}")).alias(p)
+        )
+    cols += [
+        F.when(take_u, F.col("u.seq")).otherwise(F.col("c.seq")).alias("seq"),
+        F.when(take_u, F.col("u.op") == "D")
+        .otherwise(F.col("c.is_deleted"))
+        .alias("is_deleted"),
+        F.when(take_u, applied_op).otherwise(F.col("c.last_op")).alias("last_op"),
+        F.when(take_u, F.lit(int(epoch_id)))
+        .otherwise(F.col("c.last_epoch"))
+        .alias("last_epoch"),
+    ]
+    return joined.select(*cols)
+
+
+def apply_changes(
+    spark: SparkSession,
+    feed_df: DataFrame,
+    table: SnapshotTable,
+    epoch_id: int,
+    cfg: PipelineConfig | None = None,
+) -> ApplyStats:
+    cfg = cfg or PipelineConfig()
+    if table.has_epoch(epoch_id):
+        return ApplyStats(int(epoch_id), True, 0, 0, 0, 0, 0)
+    t0 = time.time()
+
+    batch, evolved_payload = resolve_schema(
+        feed_df, table.payload_schema, cfg.rename_map
+    )
+    batch = apply_rules(batch, cfg)
+
+    payload_cols = [f.name for f in evolved_payload.fields]
+    envelope = ["op", "seq"]
+    batch = batch.select(
+        *dict.fromkeys(payload_cols + envelope)
+    )  # prune before shuffle: only what MERGE needs reaches the exchange
+
+    updates = latest_wins(batch, key="url", order=("warc_ts", "seq"), n_salt=cfg.n_salt)
+    updates = updates.withColumn("_b", bucket_expr(table.n_buckets)).persist()
+    try:
+        touched = sorted(
+            r["_b"] for r in updates.select("_b").distinct().collect()
+        )
+        if not touched:  # fully-gated batch: manifest-only commit
+            table.commit_empty_epoch(epoch_id)
+            return ApplyStats(
+                int(epoch_id), False, 0, 0, 0, 0, int((time.time() - t0) * 1000)
+            )
+        current = table.read_buckets(spark, touched, payload_schema=evolved_payload)
+        merged = merge_cdc(current, updates.drop("_b"), epoch_id, payload_cols)
+        table.commit_epoch(merged, touched, epoch_id, evolved_payload)
+
+        # lineage AFTER the commit point: recomputable, column-pruned scan
+        # of just-written files (bucket, last_op, seq only reach the scan)
+        written = table.read_buckets(spark, touched, payload_schema=evolved_payload)
+        changed = written.filter(F.col("last_epoch") == int(epoch_id))
+        metrics = (
+            changed.withColumn("bucket", bucket_expr(table.n_buckets))
+            .groupBy("bucket")
+            .agg(
+                F.count_if(F.col("last_op") == "I").alias("n_insert"),
+                F.count_if(F.col("last_op") == "U").alias("n_update"),
+                F.count_if(F.col("last_op") == "D").alias("n_delete"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+            )
+            .select(
+                F.lit(int(epoch_id)).alias("epoch_id"),
+                F.col("bucket"),
+                "n_insert",
+                "n_update",
+                "n_delete",
+                "min_seq",
+                "max_seq",
+            )
+        )
+        metrics_rows = metrics.collect()
+        table.append_metrics(spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
+
+        n_up = sum(r.n_insert + r.n_update for r in metrics_rows)
+        n_del = sum(r.n_delete for r in metrics_rows)
+        n_events = updates.count()  # deduped batch size (cached)
+        wall_ms = int((time.time() - t0) * 1000)
+        table.append_commit_log(
+            spark,
+            {
+                "epoch_id": int(epoch_id),
+                "batch_fingerprint": f"v{table.version}",
+                "n_events": n_events,
+                "n_upserts": n_up,
+                "n_deletes": n_del,
+                "wall_ms": wall_ms,
+                "events_per_sec": n_events / max(wall_ms, 1) * 1000.0,
+                "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            },
+        )
+        return ApplyStats(
+            int(epoch_id), False, n_events, n_up, n_del, len(touched), wall_ms
+        )
+    finally:
+        updates.unpersist()
+
+
+def replay_feed(
+    spark: SparkSession,
+    feed_df: DataFrame,
+    table: SnapshotTable,
+    cfg: PipelineConfig | None = None,
+    epoch_col: str = "epoch_hint",
+) -> list[ApplyStats]:
+    """Batch replay of a whole feed in epoch_hint order — the bounded-run
+    analog of the reference's `ticks` end condition (cmd/server.go:18-22)."""
+    epochs = [
+        r[0]
+        for r in feed_df.select(epoch_col).distinct().orderBy(epoch_col).collect()
+    ]
+    stats = []
+    for e in epochs:
+        batch = feed_df.filter(F.col(epoch_col) == e).drop(epoch_col)
+        stats.append(apply_changes(spark, batch, table, e, cfg))
+    return stats
