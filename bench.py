@@ -1,0 +1,111 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline metric: end-to-end CDC apply throughput (change-events/sec) on a
+deterministic generated feed (BASELINE.json), plus wall-time for a set of
+headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  QWATCH_BENCH_EVENTS  CDC feed size (default 1_000_000)
+
+Queries are forced with the noop sink (full materialization, no collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qwatch_spark import queries as q  # noqa: E402
+from qwatch_spark.config import PipelineConfig  # noqa: E402
+from qwatch_spark.datagen import gen_feed_df  # noqa: E402
+from qwatch_spark.operators.apply import replay_feed  # noqa: E402
+from qwatch_spark.plans.snapshot_table import SnapshotTable  # noqa: E402
+from qwatch_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_dedup_latest",
+    "q11_fk_broadcast_join",
+    "q16_hourly_rollup",
+    "q24_explode_wordcount",
+    "q27_minhash_signatures",
+    "q30_jaccard_pairs",
+    "q31_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_apply(spark, n_events: int, cpus: int) -> dict:
+    cfg = PipelineConfig(n_buckets=max(32, cpus))
+    tmp = tempfile.mkdtemp(prefix="qwatch_bench_")
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=cfg.n_buckets)
+    feed = gen_feed_df(
+        spark,
+        n_events,
+        n_domains=200,
+        pages_per_domain=2000,
+        epoch_size=max(1, n_events // 4),
+        num_partitions=cpus * 2,
+    )
+    t0 = time.time()
+    stats = replay_feed(spark, feed, table, cfg)
+    wall = time.time() - t0
+    return {
+        "cdc_events": n_events,
+        "cdc_wall_sec": round(wall, 3),
+        "cdc_events_per_sec": round(n_events / wall, 1),
+        "cdc_epochs": len(stats),
+        "cdc_final_rows": table.read(spark).count(),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("QWATCH_BENCH_EVENTS", "1000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        app_name="qwatch_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    registry = q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, sf_dir)
+        force(df)  # warm (read/plan caches)
+        t0 = time.time()
+        force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    cdc = bench_cdc_apply(spark, n_events, cpus)
+    timings["cdc_apply"] = cdc["cdc_wall_sec"]
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_wall_sec (headline ops + CDC apply replay)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **cdc,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

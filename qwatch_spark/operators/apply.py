@@ -25,6 +25,8 @@ destroy handler keeping the destroyed node with `destroyed` stamped
 from __future__ import annotations
 
 import datetime as dt
+import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -122,7 +124,15 @@ def apply_changes(
     )  # prune before shuffle: only what MERGE needs reaches the exchange
 
     updates = latest_wins(batch, key="url", order=("warc_ts", "seq"), n_salt=cfg.n_salt)
-    updates = updates.withColumn("_b", bucket_expr(table.n_buckets)).persist()
+    updates = updates.withColumn("_b", bucket_expr(table.n_buckets))
+
+    # Stage the deduped batch to the lake instead of caching: one pass over
+    # the feed, then cheap column-pruned re-reads — no executor memory
+    # pressure at scale, and the staged batch doubles as a debuggable
+    # artifact of what the epoch applied.
+    stage_dir = os.path.join(table.path, "stage", f"e={int(epoch_id)}")
+    updates.write.mode("overwrite").parquet(stage_dir)
+    updates = spark.read.parquet(stage_dir)
     try:
         touched = sorted(
             r["_b"] for r in updates.select("_b").distinct().collect()
@@ -184,7 +194,7 @@ def apply_changes(
             int(epoch_id), False, n_events, n_up, n_del, len(touched), wall_ms
         )
     finally:
-        updates.unpersist()
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def replay_feed(

@@ -1,0 +1,158 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash, and n-gram Jaccard — each as a pure DataFrame composition
+(JVM-side, whole-stage codegen; no Python in the hot path).
+
+Hashing is md5-hex based (not xxhash64) deliberately: md5 is available
+bit-identically in Spark, DuckDB, and Python, so every operator here has
+an exact external oracle. String-ordered min over hex digests is a valid
+uniform minhash (digests are uniformly distributed in hex space).
+
+Scale notes (100 TB corpus):
+- exact dedup: one shuffle on a 128-bit digest key — balanced by
+  construction (hash keys don't skew);
+- minhash: explode(words)→distinct is the big intermediate; it shuffles
+  (doc_id, word) pairs once, then per-doc min-aggregation is map-side
+  combinable. Band buckets are then a *small* join key set; the LSH
+  bucket join replaces the O(n²) pair space with per-bucket pairs;
+- pairwise Jaccard is provided for verification at small n and as the
+  refine step AFTER LSH candidate generation — never run it unbucketed
+  at scale (the candidate_pairs path composes LSH → refine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct pairs — the shared shuffle for set-based ops."""
+    return (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: digest, representative, group size."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_col(i: int) -> F.Column:
+    return F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("word")))).alias(f"mh{i}")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """Per-doc minhash signature over the distinct-word set (md5 family)."""
+    return doc_words(docs).groupBy("doc_id").agg(
+        *[_minhash_col(i) for i in range(n_hashes)]
+    )
+
+
+def lsh_buckets(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
+    """Band the signature: bucket id = md5(concat of band's hashes).
+    Docs sharing any band bucket are near-dup candidates."""
+    sig = minhash_signatures(docs, n_hashes)
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
+    """Self-join each band bucket → distinct candidate pairs (a < b).
+    The scale path: pair generation is per-bucket, never global."""
+    b = lsh_buckets(docs, n_hashes, band_size)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Word-set Jaccard for all co-occurring pairs ≥ threshold.
+    Integer-count arithmetic → exact; refine step after LSH at scale."""
+    words = doc_words(docs)
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    w1, w2 = words.alias("w1"), words.alias("w2")
+    common = (
+        w1.join(
+            w2,
+            (F.col("w1.word") == F.col("w2.word"))
+            & (F.col("w1.doc_id") < F.col("w2.doc_id")),
+        )
+        .groupBy(
+            F.col("w1.doc_id").alias("doc_a"), F.col("w2.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    return (
+        common.join(F.broadcast(s1), "doc_a")
+        .join(F.broadcast(s2), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """n_bits-bit SimHash over distinct words.
+
+    Bit j is the sign of the ±1 vote sum, where a word votes via the
+    high bit of the j-th hex digit of its md5 (digit in [8..f] → +1).
+    Pure integer arithmetic — portable to any SQL oracle.
+    """
+    words = doc_words(docs).withColumn("h", F.md5(F.col("word")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << (n_bits - 1 - j))).otherwise(F.lit(0))
+        for j in range(n_bits)
+    ]
+    expr = bits[0]
+    for b in bits[1:]:
+        expr = expr + b
+    return agg.select("doc_id", expr.cast("int").alias("simhash"))

@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `cosine_topk` — brute-force cosine top-k against a query vector: the
+  correctness baseline. O(n·d) per query; fine for re-ranking, wrong as
+  the primary index at 10^9 vectors.
+- `lsh_sign_buckets` / `ann_topk_lsh` — sign-random-projection LSH:
+  bucket by the sign pattern of the first `n_planes` dimensions (a
+  deterministic, data-independent projection — portable to any SQL
+  oracle), search only the query's bucket. The scale path: the bucket
+  join prunes the candidate set before any distance math.
+- `cosine_near_dup_pairs` — embedding near-duplicate pairs ≥ threshold
+  (LSH-bucketed, then exact cosine refine within bucket).
+
+Numerics: float32 is widened to float64 (exact), products are summed as
+DECIMAL(30,15) — decimal addition is associative, so the reduction is
+order-independent and bit-stable across engines and partitionings
+(a double sum would drift with partition order). Final cosine is rounded
+to 9 places.
+
+All pure Column expressions (`zip_with`/`aggregate`/higher-order
+functions) — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,15)"
+_ACC = "decimal(38,15)"
+
+
+def _dec_sum(arr: Column) -> Column:
+    """Order-independent exact sum of an array of decimals."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(_ACC),
+        lambda acc, v: (acc + v).cast(_ACC),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return _dec_sum(prods).cast("double")
+
+
+def _norm_sq(a: Column) -> Column:
+    sq = F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_DEC))
+    return _dec_sum(sq).cast("double")
+
+
+def cosine_sim(a: Column, b: Column, scale: int = 9) -> Column:
+    return F.round(_dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b))), scale)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs the vector with id `query_id`.
+    The 1-row query side is broadcast — no shuffle of the corpus."""
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        vectors.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def lsh_sign_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket id = bit pattern of sign(dim_i) for i in [0, n_planes)."""
+    bits = [
+        F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << (n_planes - 1 - i))
+        ).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    expr = bits[0]
+    for b in bits[1:]:
+        expr = expr + b
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), expr.cast("int").alias("bucket")
+    )
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign bucket."""
+    bucketed = lsh_sign_buckets(vectors, n_planes, id_col, vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("_qbucket")
+    ).filter(F.col(id_col) != query_id)
+    scored = cand.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (a<b) with cosine ≥ threshold, candidate-pruned
+    by sign-LSH bucket equality (recall<1 by design — the scale path)."""
+    b = lsh_sign_buckets(vectors, n_planes, id_col, vec_col)
+    l = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    r = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,87 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (SURVEY.md training-data pipeline ops).
+
+All pure Column expressions over built-in functions (regexp_extract_all,
+split, md5) — portable 1:1 to a SQL oracle, JVM-side at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker-word tables for the n-gram language heuristic: tiny dimension
+# data, compiled into the plan as literals (no join needed)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _marker_count(lang: str) -> F.Column:
+    pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
+    return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word counts; 'und' when no
+    marker hits. Ties break by fixed language order (en,de,fr,es)."""
+    scored = docs.select(
+        "doc_id", *[_marker_count(lg).alias(f"n_{lg}") for lg in LANG_MARKERS]
+    )
+    best = F.greatest(*[F.col(f"n_{lg}") for lg in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANG_MARKERS:  # first language reaching the max wins
+        pred = pred.when(F.col(f"n_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("marker_hits"))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter runs,
+    digit runs, single punctuation marks)."""
+    ws = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_obs"),
+    )
+
+
+def quality_score(docs: DataFrame, stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic, scaled to
+    integer basis points then rounded — deterministic across engines."""
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), 0))
+    stop_pat = "\\b(" + "|".join(stopwords) + ")\\b"
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(stop_pat), 0))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        F.lit(0.5) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.2) * (1 - punct_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of case-folded,
+    whitespace-collapsed text (the rolling-hash analog with an exact
+    cross-engine definition)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

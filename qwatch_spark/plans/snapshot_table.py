@@ -186,6 +186,10 @@ class SnapshotTable:
         (
             merged.withColumn("b", bucket_expr(self.n_buckets))
             .select("b", *cols)
+            # co-locate each bucket in one task → exactly one file per
+            # bucket per version (bucket size is governed by n_buckets,
+            # chosen so a bucket ≈ one healthy parquet file at target SF)
+            .repartition(max(len(touched_buckets), 1), "b")
             .write.mode("overwrite")
             .partitionBy("b")
             .parquet(out)

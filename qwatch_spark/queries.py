@@ -1,0 +1,943 @@
+"""Operator-coverage query registry (SURVEY.md §2) with DuckDB oracles.
+
+Each entry pairs a Spark DataFrame query (the engine-side implementation,
+demonstrating the operator Spark-first) with an ANSI-SQL oracle string
+that DuckDB runs on the same parquet tables. Column names are aliased
+identically on both sides; float reductions go through DECIMAL so the
+result is order-independent and bit-stable across engines.
+
+Naming: qNN_<operator>; the SURVEY.md §2 row it covers is cited in each
+docstring/comment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwatch_spark.operators.dedup import latest_wins
+from qwatch_spark.operators.dedup_text import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from qwatch_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
+from qwatch_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_rev(price: str, disc: str) -> F.Column:
+    """Order-independent revenue sum: product → DECIMAL → exact sum."""
+    prod = (F.col(price) * (1 - F.col(disc))).cast("decimal(18,6)")
+    return F.round(F.sum(prod).cast("double"), 4)
+
+
+# --------------------------------------------------------------------------
+# §2.5/2.6 dedup & CDC state (W1, K4/K5 SQL-expressible form)
+# --------------------------------------------------------------------------
+
+def q01_dedup_latest(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events")
+    out = latest_wins(ev, key="user_id", order=("ts", "event_id"))
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q02_dedup_latest_salted(spark, sf_dir):
+    """Same result via the explicit two-phase salted path (skew handling)."""
+    ev = ld(spark, sf_dir, "events")
+    out = latest_wins(ev, key="user_id", order=("ts", "event_id"), n_salt=8)
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q03_cdc_final_state(spark, sf_dir):
+    """CDC apply in SQL-expressible form: latest event per key wins,
+    'error' acts as the delete opcode (K4/K5 semantics)."""
+    ev = ld(spark, sf_dir, "events")
+    latest = latest_wins(ev, key="user_id", order=("ts", "event_id"))
+    return latest.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_CDC_FINAL_STATE = """
+SELECT user_id, ts AS last_ts, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2/2.3 projections & filters (P1-P8, F1)
+# --------------------------------------------------------------------------
+
+def q04_filter_router(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_FILTER_ROUTER = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type IN ('click', 'view') GROUP BY event_type
+"""
+
+
+def q05_project_envelope(spark, sf_dir):
+    """P1: concat type.action into msg + timestamp formatting (P7)."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.concat_ws(".", F.lit("event"), F.col("event_type")).alias("msg"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+SQL_PROJECT_ENVELOPE = """
+SELECT event_id, 'event' || '.' || event_type AS msg,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events WHERE event_id < 100
+"""
+
+
+def q06_json_attr_extract(spark, sf_dir):
+    """P2: attribute-map access (Actor.Attributes analog) from the props
+    JSON payload, then a grouped rollup."""
+    ev = ld(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.count("*").alias("n"),
+            F.round(F.sum("k") / F.count("*"), 6).alias("k_avg"),
+        )
+    )
+
+
+SQL_JSON_ATTR_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS k_sum,
+       count(*) AS n,
+       ROUND(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) * 1.0
+             / count(*), 6) AS k_avg
+FROM events GROUP BY event_type
+"""
+
+
+def q07_nested_struct_roundtrip(spark, sf_dir):
+    """P3: flat→nested→flat re-projection (GELF envelope analog)."""
+    ev = ld(spark, sf_dir, "events")
+    nested = ev.filter(F.col("event_id") < 50).select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
+        ).alias("envelope"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("envelope.uid").alias("uid"),
+        F.col("envelope.etype").alias("etype"),
+    )
+
+
+SQL_NESTED_STRUCT = """
+SELECT event_id, user_id AS uid, event_type AS etype
+FROM events WHERE event_id < 50
+"""
+
+
+def q08_parse_parts(spark, sf_dir):
+    """P4 ParseImageName analog: split a composite name into parts."""
+    part = ld(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, F.size(toks)).alias("last_word"),
+        F.size(toks).alias("n_words"),
+    )
+
+
+SQL_PARSE_PARTS = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS last_word,
+       len(string_split(p_name, ' ')) AS n_words
+FROM part
+"""
+
+
+def q09_format_string(spark, sf_dir):
+    """P6: Sprintf-style padded formatting + rtrim."""
+    sup = ld(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey",
+        F.rtrim(F.format_string("supp:%-24s#", F.col("s_name"))).alias("label"),
+    )
+
+
+SQL_FORMAT_STRING = """
+SELECT s_suppkey, rtrim(printf('supp:%-24s#', s_name)) AS label FROM supplier
+"""
+
+
+def q10_trim_filter(spark, sf_dir):
+    """P8: name trim + sentinel filter (the '<none>:<none>' analog)."""
+    docs = ld(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select(F.regexp_replace("source", "^src", "").alias("source_id"))
+        .groupBy("source_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TRIM_FILTER = """
+SELECT regexp_replace(source, '^src', '') AS source_id, count(*) AS n_docs
+FROM documents WHERE source <> 'src0' GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 joins (J1-J5)
+# --------------------------------------------------------------------------
+
+def q11_fk_broadcast_join(spark, sf_dir):
+    """J1: FK equi-join to a small dimension — explicitly broadcast."""
+    li = ld(spark, sf_dir, "lineitem")
+    part = ld(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dec_rev("l_extendedprice", "l_discount").alias("revenue"),
+        )
+    )
+
+
+SQL_FK_BROADCAST_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q12_join_chain(spark, sf_dir):
+    """J2/J3: multi-hop dimension chain customer→nation→region."""
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation")
+    r = ld(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+SQL_JOIN_CHAIN = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q13_two_key_pair_join(spark, sf_dir):
+    """J4: equi-join on BOTH keys (container↔network connect analog):
+    co-typed event pairs per user."""
+    ev = ld(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    e1, e2 = ev.alias("e1"), ev.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e1.event_type") == F.col("e2.event_type"))
+            & (F.col("e1.event_id") < F.col("e2.event_id")),
+        )
+        .groupBy(F.col("e1.event_type").alias("event_type"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_TWO_KEY_PAIR_JOIN = """
+SELECT e1.event_type AS event_type, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id AND e1.event_type = e2.event_type
+ AND e1.event_id < e2.event_id
+GROUP BY e1.event_type
+"""
+
+
+def q14_anti_join_new_keys(spark, sf_dir):
+    """J5/K4 create-if-absent analog: keys NOT present in the target."""
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_cust FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q15_semi_join(spark, sf_dir):
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_cust FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 aggregations / metrics rollups
+# --------------------------------------------------------------------------
+
+def q16_hourly_rollup(spark, sf_dir):
+    """Metrics rollup (north_rule lineage analog): per hour."""
+    ev = ld(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+SQL_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1
+"""
+
+
+def q17_opcode_counts(spark, sf_dir):
+    """F3: per-action opcode derivation (I/U/D) + count_if rollup."""
+    ev = ld(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "purchase"), "U")
+        .otherwise("I")
+    )
+    return ev.select(op.alias("op")).agg(
+        F.count_if(F.col("op") == "I").alias("n_insert"),
+        F.count_if(F.col("op") == "U").alias("n_update"),
+        F.count_if(F.col("op") == "D").alias("n_delete"),
+    )
+
+
+SQL_OPCODE_COUNTS = """
+SELECT SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
+       SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
+       SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+FROM (SELECT CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type IN ('click', 'purchase') THEN 'U'
+                  ELSE 'I' END AS op
+      FROM events) t
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 window functions (W1/W2)
+# --------------------------------------------------------------------------
+
+def q18_scd2_intervals(spark, sf_dir):
+    """W2: SCD2 validity intervals via lead()."""
+    from pyspark.sql import Window as W
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+SQL_SCD2 = """
+SELECT event_id, user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM events WHERE user_id < 5
+"""
+
+
+def q19_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT user_id, event_id, value, rn
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE user_id < 20) t
+WHERE rn <= 3
+"""
+
+
+def q20_running_sum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(running.cast("double"), 4).alias("running_value"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
+FROM events WHERE user_id < 10
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+def q21_sort_limit(spark, sf_dir):
+    o = ld(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q22_except_keys(spark, sf_dir):
+    """§2.7: set difference — clicked users minus errored users."""
+    ev = ld(spark, sf_dir, "events")
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errored = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicked.exceptAll(errored)
+
+
+SQL_EXCEPT_KEYS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q23_union_branches(spark, sf_dir):
+    """§2.7: per-branch apply sets reunited (insert/update/delete union)."""
+    ev = ld(spark, sf_dir, "events")
+
+    def branch(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(t).alias("branch"), "n")
+        )
+
+    return branch("click").unionByName(branch("error")).unionByName(branch("view"))
+
+
+SQL_UNION_BRANCHES = """
+SELECT 'click' AS branch, count(*) AS n FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'error' AS branch, count(*) AS n FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'view' AS branch, count(*) AS n FROM events WHERE event_type = 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8/2.9 explode (K6) + tumbling window
+# --------------------------------------------------------------------------
+
+def q24_explode_wordcount(spark, sf_dir):
+    """K6: array-valued attribute explode (RepoTags analog) + rollup."""
+    docs = ld(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+SQL_EXPLODE_WORDCOUNT = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+def q25_tumbling_window(spark, sf_dir):
+    """§2.9: tumbling event-time window (metrics cadence)."""
+    ev = ld(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("w_start"), "n", "n_users")
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS w_start,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup family
+# --------------------------------------------------------------------------
+
+def q26_exact_dup_groups(spark, sf_dir):
+    return exact_duplicates(ld(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DUP = """
+SELECT md5(text) AS digest, min(doc_id) AS canonical_doc, count(*) AS n_docs
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_WORDS_CTE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word <> ''
+)
+"""
+
+
+def q27_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(ld(spark, sf_dir, "documents"), n_hashes=4)
+
+
+SQL_MINHASH = _WORDS_CTE + """
+SELECT doc_id,
+       min(md5('0|' || word)) AS mh0, min(md5('1|' || word)) AS mh1,
+       min(md5('2|' || word)) AS mh2, min(md5('3|' || word)) AS mh3
+FROM words GROUP BY doc_id
+"""
+
+
+def q28_lsh_candidate_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        ld(spark, sf_dir, "documents"), n_hashes=4, band_size=2
+    )
+
+
+SQL_LSH_PAIRS = _WORDS_CTE + """
+, sig AS (
+  SELECT doc_id,
+         min(md5('0|' || word)) AS mh0, min(md5('1|' || word)) AS mh1,
+         min(md5('2|' || word)) AS mh2, min(md5('3|' || word)) AS mh3
+  FROM words GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _simhash_sql(n_bits: int = 16) -> str:
+    votes = ",\n".join(
+        "SUM(CASE WHEN substring(md5(word), {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}".format(
+            p=j + 1, j=j
+        )
+        for j in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return (
+        _WORDS_CTE
+        + f", agg AS (SELECT doc_id, {votes} FROM words GROUP BY doc_id)\n"
+        + f"SELECT doc_id, CAST({bits} AS INT) AS simhash FROM agg"
+    )
+
+
+def q29_simhash(spark, sf_dir):
+    return simhash(ld(spark, sf_dir, "documents"), n_bits=16)
+
+
+SQL_SIMHASH = _simhash_sql(16)
+
+
+def q30_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_JACCARD_PAIRS = _WORDS_CTE + """
+, sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+common AS (
+  SELECT w1.doc_id AS doc_a, w2.doc_id AS doc_b, count(*) AS n_common
+  FROM words w1 JOIN words w2
+    ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (s1.n_words + s2.n_words - n_common), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc_a
+JOIN sizes s2 ON s2.doc_id = doc_b
+WHERE ROUND(n_common * 1.0 / (s1.n_words + s2.n_words - n_common), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: similarity search
+# --------------------------------------------------------------------------
+
+_EMB_CTE = """
+WITH e AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS xd, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(xd * xd AS DECIMAL(30,15))) AS DOUBLE) AS nsq
+  FROM e GROUP BY vec_id
+)
+"""
+
+
+def q31_cosine_topk(spark, sf_dir):
+    return cosine_topk(ld(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+SQL_COSINE_TOPK = _EMB_CTE + """
+, q AS (SELECT i, xd AS qx FROM e WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(e.xd * q.qx AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM e JOIN q ON e.i = q.i
+  WHERE e.vec_id <> 0 GROUP BY e.vec_id
+)
+SELECT d.vec_id AS vec_id,
+       ROUND(d.dot / (sqrt(n.nsq) * sqrt(nq.nsq)), 9) AS cosine
+FROM dots d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) nq
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _bucket_bits_sql(col: str, n_planes: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+
+
+def q32_ann_lsh_topk(spark, sf_dir):
+    return ann_topk_lsh(ld(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=8)
+
+
+SQL_ANN_LSH_TOPK = _EMB_CTE + f"""
+, b AS (SELECT vec_id, CAST({_bucket_bits_sql('embedding')} AS INT) AS bucket
+        FROM embeddings),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM b JOIN qb ON b.bucket = qb.bucket
+         WHERE b.vec_id <> 0),
+q AS (SELECT i, xd AS qx FROM e WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(e.xd * q.qx AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM e JOIN q ON e.i = q.i
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+)
+SELECT d.vec_id AS vec_id,
+       ROUND(d.dot / (sqrt(n.nsq) * sqrt(nq.nsq)), 9) AS cosine
+FROM dots d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) nq
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q33_embedding_near_dups(spark, sf_dir):
+    return cosine_near_dup_pairs(
+        ld(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8
+    )
+
+
+SQL_NEAR_DUPS = _EMB_CTE + f"""
+, b AS (SELECT vec_id, CAST({_bucket_bits_sql('embedding')} AS INT) AS bucket
+        FROM embeddings),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CAST(ea.xd * eb.xd AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.id_a
+  JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b,
+       ROUND(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 9) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE ROUND(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 9) >= 0.25
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: text analysis
+# --------------------------------------------------------------------------
+
+def q34_lang_id(spark, sf_dir):
+    return lang_id(ld(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    counts = ",\n".join(
+        "len(regexp_extract_all(text, '\\b({alts})\\b')) AS n_{lg}".format(
+            alts="|".join(words), lg=lg
+        )
+        for lg, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"n_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN {b} = 0 THEN 'und' ".format(b=best) + " ".join(
+        f"WHEN n_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return (
+        f"WITH scored AS (SELECT doc_id, {counts} FROM documents)\n"
+        f"SELECT doc_id, {case} AS pred_lang, {best} AS marker_hits FROM scored"
+    )
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q35_token_count(spark, sf_dir):
+    return token_count(ld(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_obs
+FROM documents
+"""
+
+
+def q36_quality_score(spark, sf_dir):
+    return quality_score(ld(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       ROUND(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) * 1.0
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+         AS stopword_ratio,
+       ROUND(0.5 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+             + 0.3 * ROUND(len(regexp_extract_all(text, '\\b(the|a|of|and)\\b')) * 1.0
+                           / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+             + 0.2 * (1 - ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                                / greatest(length(text), 1), 6)), 6) AS quality
+FROM documents
+"""
+
+
+def q37_fingerprint(spark, sf_dir):
+    return fingerprint(ld(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# engine-native ops (non-SQL-expressible → rows-only check)
+# --------------------------------------------------------------------------
+
+def q50_cdc_apply_e2e(spark, sf_dir):
+    """Full engine path: generated change feed → rules → dedup → MERGE into
+    a SnapshotTable → final live state. Not SQL-expressible (stateful,
+    multi-epoch, exactly-once commit protocol) — pytest covers it against
+    the dict-replay oracle; here it feeds the rows-only harness check."""
+    import tempfile
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import replay_feed
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+    cfg = PipelineConfig(n_buckets=8)
+    tmp = tempfile.mkdtemp(prefix="qwatch_cdc_e2e_")
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=8)
+    feed = gen_feed_df(spark, 2000)
+    replay_feed(spark, feed, table, cfg)
+    return table.read(spark).select("url", "warc_ts", "text", "lang")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_dedup_latest": (q01_dedup_latest, SQL_DEDUP_LATEST),
+    "q02_dedup_latest_salted": (q02_dedup_latest_salted, SQL_DEDUP_LATEST),
+    "q03_cdc_final_state": (q03_cdc_final_state, SQL_CDC_FINAL_STATE),
+    "q04_filter_router": (q04_filter_router, SQL_FILTER_ROUTER),
+    "q05_project_envelope": (q05_project_envelope, SQL_PROJECT_ENVELOPE),
+    "q06_json_attr_extract": (q06_json_attr_extract, SQL_JSON_ATTR_EXTRACT),
+    "q07_nested_struct_roundtrip": (q07_nested_struct_roundtrip, SQL_NESTED_STRUCT),
+    "q08_parse_parts": (q08_parse_parts, SQL_PARSE_PARTS),
+    "q09_format_string": (q09_format_string, SQL_FORMAT_STRING),
+    "q10_trim_filter": (q10_trim_filter, SQL_TRIM_FILTER),
+    "q11_fk_broadcast_join": (q11_fk_broadcast_join, SQL_FK_BROADCAST_JOIN),
+    "q12_join_chain": (q12_join_chain, SQL_JOIN_CHAIN),
+    "q13_two_key_pair_join": (q13_two_key_pair_join, SQL_TWO_KEY_PAIR_JOIN),
+    "q14_anti_join_new_keys": (q14_anti_join_new_keys, SQL_ANTI_JOIN),
+    "q15_semi_join": (q15_semi_join, SQL_SEMI_JOIN),
+    "q16_hourly_rollup": (q16_hourly_rollup, SQL_HOURLY_ROLLUP),
+    "q17_opcode_counts": (q17_opcode_counts, SQL_OPCODE_COUNTS),
+    "q18_scd2_intervals": (q18_scd2_intervals, SQL_SCD2),
+    "q19_topk_per_group": (q19_topk_per_group, SQL_TOPK_PER_GROUP),
+    "q20_running_sum": (q20_running_sum, SQL_RUNNING_SUM),
+    "q21_sort_limit": (q21_sort_limit, SQL_SORT_LIMIT),
+    "q22_except_keys": (q22_except_keys, SQL_EXCEPT_KEYS),
+    "q23_union_branches": (q23_union_branches, SQL_UNION_BRANCHES),
+    "q24_explode_wordcount": (q24_explode_wordcount, SQL_EXPLODE_WORDCOUNT),
+    "q25_tumbling_window": (q25_tumbling_window, SQL_TUMBLING_WINDOW),
+    "q26_exact_dup_groups": (q26_exact_dup_groups, SQL_EXACT_DUP),
+    "q27_minhash_signatures": (q27_minhash_signatures, SQL_MINHASH),
+    "q28_lsh_candidate_pairs": (q28_lsh_candidate_pairs, SQL_LSH_PAIRS),
+    "q29_simhash": (q29_simhash, SQL_SIMHASH),
+    "q30_jaccard_pairs": (q30_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "q31_cosine_topk": (q31_cosine_topk, SQL_COSINE_TOPK),
+    "q32_ann_lsh_topk": (q32_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "q33_embedding_near_dups": (q33_embedding_near_dups, SQL_NEAR_DUPS),
+    "q34_lang_id": (q34_lang_id, SQL_LANG_ID),
+    "q35_token_count": (q35_token_count, SQL_TOKEN_COUNT),
+    "q36_quality_score": (q36_quality_score, SQL_QUALITY),
+    "q37_fingerprint": (q37_fingerprint, SQL_FINGERPRINT),
+    "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
