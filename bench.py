@@ -35,8 +35,9 @@ HEADLINE = [
     "q16_hourly_rollup",
     "q24_explode_wordcount",
     "q27_minhash_signatures",
-    "q30_jaccard_pairs",
-    "q31_cosine_topk",
+    "q28_lsh_candidate_pairs",
+    "q29_simhash",
+    "q38_cosine_topk_fast",
 ]
 
 

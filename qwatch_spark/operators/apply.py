@@ -115,7 +115,7 @@ def apply_changes(
     batch, evolved_payload = resolve_schema(
         feed_df, table.payload_schema, cfg.rename_map
     )
-    batch = apply_rules(batch, cfg)
+    batch = apply_rules(batch, cfg, kind="gate")
 
     payload_cols = [f.name for f in evolved_payload.fields]
     envelope = ["op", "seq"]
@@ -124,6 +124,9 @@ def apply_changes(
     )  # prune before shuffle: only what MERGE needs reaches the exchange
 
     updates = latest_wins(batch, key="url", order=("warc_ts", "seq"), n_salt=cfg.n_salt)
+    # deferred projections (e.g. HTML→text): once per surviving key,
+    # not once per raw event
+    updates = apply_rules(updates, cfg, kind="project")
     updates = updates.withColumn("_b", bucket_expr(table.n_buckets))
 
     # Stage the deduped batch to the lake instead of caching: one pass over

@@ -55,13 +55,29 @@ RULE_REGISTRY: dict[str, Rule] = {
     "extract_text": rule_extract_text,
 }
 
+# Rule classification drives a plan rewrite in apply_changes: gates
+# (row-dropping filters) run BEFORE dedup so losers are cheap to discard;
+# projections (column-producing transforms like HTML→text) are DEFERRED
+# to after dedup, so expensive extraction runs once per surviving key
+# instead of once per raw event — the same final state, ~(batch/keys)×
+# less UDF work. Relative order within each kind is preserved.
+RULE_KIND: dict[str, str] = {
+    "valid_url": "gate",
+    "lang_gate": "gate",
+    "min_html_bytes": "gate",
+    "extract_text": "project",
+}
 
-def apply_rules(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Chain cfg.rules in declared order (the DAG the reference never ran)."""
+
+def apply_rules(df: DataFrame, cfg: PipelineConfig, kind: str | None = None) -> DataFrame:
+    """Chain cfg.rules in declared order (the DAG the reference never ran).
+    With `kind`, apply only that phase ('gate' or 'project')."""
     for name in cfg.rules:
         try:
             rule = RULE_REGISTRY[name]
         except KeyError:  # strict, unlike the reference's nil-interface panic
             raise ValueError(f"unknown filter rule {name!r}") from None
+        if kind is not None and RULE_KIND[name] != kind:
+            continue
         df = rule(df, cfg)
     return df

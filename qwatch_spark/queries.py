@@ -29,6 +29,7 @@ from qwatch_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_fast,
 )
 from qwatch_spark.operators.textstats import (
     LANG_MARKERS,
@@ -865,6 +866,13 @@ FROM documents
 """
 
 
+def q38_cosine_topk_fast(spark, sf_dir):
+    """numpy/Arrow throughput variant of q31 (rows-only: float64 SIMD
+    reduction order differs from the decimal-exact oracle at the last
+    bits; q31 carries the exact oracle, pytest checks q38 ≈ q31)."""
+    return cosine_topk_fast(ld(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 # --------------------------------------------------------------------------
 # engine-native ops (non-SQL-expressible → rows-only check)
 # --------------------------------------------------------------------------
@@ -931,6 +939,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q35_token_count": (q35_token_count, SQL_TOKEN_COUNT),
     "q36_quality_score": (q36_quality_score, SQL_QUALITY),
     "q37_fingerprint": (q37_fingerprint, SQL_FINGERPRINT),
+    "q38_cosine_topk_fast": (q38_cosine_topk_fast, None),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
 }
 
