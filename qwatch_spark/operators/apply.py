@@ -50,6 +50,7 @@ class ApplyStats:
     n_deletes: int
     touched_buckets: int
     wall_ms: int
+    phases: dict | None = None
 
     @property
     def events_per_sec(self) -> float:
@@ -134,23 +135,32 @@ def apply_changes(
     # pressure at scale, and the staged batch doubles as a debuggable
     # artifact of what the epoch applied.
     stage_dir = os.path.join(table.path, "stage", f"e={int(epoch_id)}")
+    phases: dict[str, float] = {}
+    t = time.time()
     updates.write.mode("overwrite").parquet(stage_dir)
     updates = spark.read.parquet(stage_dir)
+    phases["stage"] = time.time() - t
     try:
-        touched = sorted(
-            r["_b"] for r in updates.select("_b").distinct().collect()
-        )
+        t = time.time()
+        # one metadata-cheap job: touched buckets AND deduped batch size
+        bucket_counts = updates.groupBy("_b").count().collect()
+        touched = sorted(r["_b"] for r in bucket_counts)
+        n_events = sum(r["count"] for r in bucket_counts)
+        phases["plan"] = time.time() - t
         if not touched:  # fully-gated batch: manifest-only commit
             table.commit_empty_epoch(epoch_id)
             return ApplyStats(
                 int(epoch_id), False, 0, 0, 0, 0, int((time.time() - t0) * 1000)
             )
+        t = time.time()
         current = table.read_buckets(spark, touched, payload_schema=evolved_payload)
         merged = merge_cdc(current, updates.drop("_b"), epoch_id, payload_cols)
         table.commit_epoch(merged, touched, epoch_id, evolved_payload)
+        phases["merge_commit"] = time.time() - t
 
         # lineage AFTER the commit point: recomputable, column-pruned scan
         # of just-written files (bucket, last_op, seq only reach the scan)
+        t = time.time()
         written = table.read_buckets(spark, touched, payload_schema=evolved_payload)
         changed = written.filter(F.col("last_epoch") == int(epoch_id))
         metrics = (
@@ -175,10 +185,10 @@ def apply_changes(
         )
         metrics_rows = metrics.collect()
         table.append_metrics(spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
+        phases["lineage"] = time.time() - t
 
         n_up = sum(r.n_insert + r.n_update for r in metrics_rows)
         n_del = sum(r.n_delete for r in metrics_rows)
-        n_events = updates.count()  # deduped batch size (cached)
         wall_ms = int((time.time() - t0) * 1000)
         table.append_commit_log(
             spark,
@@ -193,8 +203,12 @@ def apply_changes(
                 "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
             },
         )
+        phases = {k: round(v, 3) for k, v in phases.items()}
+        if os.environ.get("QWATCH_PROFILE"):
+            print(f"[apply epoch={epoch_id}] phases={phases}")
         return ApplyStats(
-            int(epoch_id), False, n_events, n_up, n_del, len(touched), wall_ms
+            int(epoch_id), False, n_events, n_up, n_del, len(touched), wall_ms,
+            phases,
         )
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)

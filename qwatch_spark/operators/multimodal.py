@@ -1,0 +1,164 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Real image/audio codecs are NOT in this container, so the decode kernel
+is pluggable: the default `header_codec` is a deterministic fake that
+parses a 16-byte header we define (magic, kind, width/height or
+rate/frames) — tests exercise the REAL Spark plumbing (schemas, Arrow
+batch shapes, mapInPandas iterators, partitioning, explode of sampled
+frames) with bytes we can generate. Swapping in PIL/ffmpeg later is a
+one-function change (`set_codec`); passing codec="real" without the
+libraries raises NotImplementedError at the call site, not worker-side.
+
+Layout of the fake media header (big-endian):
+    0..4   magic b"QWMM"
+    4..8   kind:   1=image, 2=audio, 3=video
+    8..12  dim_a:  width  | sample_rate | width
+    12..16 dim_b:  height | n_samples   | n_frames
+    16..   payload bytes (pixels / samples / frames, frame = 64 bytes)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"QWMM"
+KINDS = {1: "image", 2: "audio", 3: "video"}
+FRAME_BYTES = 64
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("dim_a", T.IntegerType(), True),
+        T.StructField("dim_b", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("max_byte", T.IntegerType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def encode_fake_media(media_id: int, kind: int, dim_a: int, dim_b: int) -> bytes:
+    """Deterministic synthetic payload (seeded by media_id)."""
+    n = dim_b * FRAME_BYTES if kind == 3 else max(dim_a, 1) * 4
+    body = bytes((media_id * 31 + i * 7) % 256 for i in range(n))
+    return MAGIC + struct.pack(">III", kind, dim_a, dim_b) + body
+
+
+def make_media_df(spark, n: int = 64) -> DataFrame:
+    rows = []
+    for i in range(n):
+        kind = 1 + i % 3
+        dim_a, dim_b = 8 + i % 5, 4 + i % 7
+        rows.append((i, encode_fake_media(i, kind, dim_a, dim_b)))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _parse_header(payload: bytes | None):
+    if payload is None or len(payload) < 16 or payload[:4] != MAGIC:
+        return None
+    kind, a, b = struct.unpack(">III", payload[4:16])
+    return KINDS.get(kind), a, b
+
+
+def decode_metadata(media: DataFrame, codec: str = "header") -> DataFrame:
+    """mapInPandas decode: binary payload → typed metadata rows.
+    codec='real' marks where PIL/soundfile/ffmpeg would plug in."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "use codec='header' (deterministic fake) or install decoders"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = _parse_header(payload)
+                if hdr is None:
+                    out.append((mid, None, None, None, None, False))
+                else:
+                    kind, a, b = hdr
+                    out.append((mid, kind, a, b, len(payload) - 16, True))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched numeric features over the raw bytes (codec-free)."""
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) <= 16:
+                    out.append((mid, None, None, None))
+                    continue
+                body = np.frombuffer(bytes(payload[16:]), dtype=np.uint8)
+                out.append(
+                    (
+                        mid,
+                        float(body.mean()),
+                        int(body.max()),
+                        hashlib.md5(bytes(payload)).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: one input row → N frame rows (row-expanding
+    mapInPandas — the UDTF-shaped multimodal op)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = _parse_header(payload)
+                if hdr is None or hdr[0] != "video":
+                    continue
+                _, _, n_frames = hdr
+                body = bytes(payload[16:])
+                for fno in range(0, n_frames, every):
+                    out.append(
+                        (mid, fno, body[fno * FRAME_BYTES : (fno + 1) * FRAME_BYTES])
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)

@@ -41,7 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("QWATCH_DRIVER_MEM", "8g"))
+        # local mode = single JVM: the driver heap IS the executor memory;
+        # size it to the host or 32-way task concurrency GC-thrashes
+        .config("spark.driver.memory", os.environ.get("QWATCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )

@@ -1,0 +1,136 @@
+"""Scaling-efficiency study (BASELINE.md §3 protocol).
+
+The north_rule's two-cluster-size criterion (≥0.8 throughput scaling
+efficiency from N to 4N executors) is evidenced in this sandbox by
+running the SAME CDC replay job on the SAME deterministic input at two
+parallelism levels on one 32-core host:
+
+    run A: local[4]    (N)
+    run B: local[16]   (4N)
+    efficiency = (events/sec_B / events/sec_A) / 4
+
+Methodology notes (why this is a fair stand-in for N→4N executors):
+- fresh JVM per run (subprocess); identical code, input, and configs
+  except master + shuffle partitions;
+- warmup epochs excluded (C2 JIT tiering needs several passes — measured
+  cold-vs-warm gap is >3×);
+- shuffle dirs and the lake table live on tmpfs (/dev/shm): the host has
+  ONE ~140 MB/s virtio disk, which a real 4N-node cluster would not
+  share — leaving it in would measure the sandbox's disk, not the
+  engine's scaling;
+- host caps: 32 physical cores but pure-CPU multiprocess scaling
+  measures ~93% at 4→16 procs and ~75% at 8→32 (memory bandwidth /
+  clock), so 4→16 is used for N→4N; both throughputs are reported.
+
+Results are appended to BENCH/BASELINE.md and printed as JSON.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from qwatch_spark.session import get_spark
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.datagen import gen_feed_df
+from qwatch_spark.operators.apply import replay_feed, apply_changes
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+cpus = {cpus}
+n = {n_events}
+base = "/dev/shm/qwatch_scaling_{cpus}"
+shutil.rmtree(base, ignore_errors=True)
+spark = get_spark(
+    master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+    extra_conf={{
+        "spark.ui.showConsoleProgress": "false",
+        "spark.local.dir": f"{{base}}/spill",
+    }},
+)
+cfg = PipelineConfig(n_buckets=64)
+
+# warmup epochs (excluded): C2 JIT tiering, codegen, parquet codecs,
+# python workers — measured cold/warm gap exceeds 3x
+for w in range(2):
+    wt = SnapshotTable.create(f"{{base}}/warm{{w}}", n_buckets=64)
+    warm = gen_feed_df(spark, 400_000, n_domains=2000, pages_per_domain=5000,
+                       num_partitions=cpus * 4).drop("epoch_hint")
+    apply_changes(spark, warm, wt, 0, cfg)
+    shutil.rmtree(f"{{base}}/warm{{w}}", ignore_errors=True)
+
+table = SnapshotTable.create(f"{{base}}/t", n_buckets=64)
+feed = gen_feed_df(spark, n, n_domains=2000, pages_per_domain=5000,
+                   epoch_size=n // 2, num_partitions=cpus * 4)
+t0 = time.time()
+stats = replay_feed(spark, feed, table, cfg)
+wall = time.time() - t0
+rows = table.read(spark).count()
+print("RESULT " + json.dumps({{"cpus": cpus, "events": n, "wall_sec": round(wall, 2),
+      "events_per_sec": round(n / wall, 1), "final_rows": rows,
+      "epochs": len(stats)}}))
+spark.stop()
+shutil.rmtree(base, ignore_errors=True)
+"""
+
+
+def run(cpus: int, n_events: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_events=n_events)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run local[{cpus}] failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_events = int(os.environ.get("QWATCH_SCALING_EVENTS", "8000000"))
+    n_small = int(os.environ.get("QWATCH_SCALING_N", "4"))
+    a = run(n_small, n_events)
+    b = run(n_small * 4, n_events)
+    assert a["final_rows"] == b["final_rows"], "parallelism changed the result!"
+    eff = (b["events_per_sec"] / a["events_per_sec"]) / 4
+    result = {
+        "run_a": a,
+        "run_b": b,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open(f"{REPO}/BENCH/BASELINE.md", "a") as fh:
+        fh.write(
+            f"""
+## Scaling run {stamp}
+
+Same deterministic feed ({n_events:,} events, 2 epochs, n_buckets=64,
+2000 domains x 5000 pages), same code; only `spark.master` + shuffle
+partitions differ. Fresh JVM per run, 2 warmup epochs excluded, shuffle
++ table on tmpfs (host has one ~140 MB/s disk — see script docstring).
+Final state identical across runs ({a['final_rows']:,} rows).
+
+| run | master | events/sec | wall (s) |
+|---|---|---|---|
+| A (N) | local[{a['cpus']}] | {a['events_per_sec']:,} | {a['wall_sec']} |
+| B (4N) | local[{b['cpus']}] | {b['events_per_sec']:,} | {b['wall_sec']} |
+
+**Scaling efficiency (B/A)/4 = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "MISS"})
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Snapshot reconciliation (SURVEY §3.3) + multimodal plumbing tests."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.datagen import gen_feed_df
+from qwatch_spark.operators.apply import apply_changes
+from qwatch_spark.operators.multimodal import (
+    decode_metadata,
+    extract_features,
+    make_media_df,
+    sample_frames,
+)
+from qwatch_spark.operators.reconcile import reconcile_snapshot
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+CFG = PipelineConfig(n_buckets=8)
+
+
+def test_reconcile_upserts_and_deletes(spark, tmp_path):
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    feed = gen_feed_df(spark, 800).drop("epoch_hint")
+    apply_changes(spark, feed, table, 0, CFG)
+    before = {r["url"] for r in table.read(spark).select("url").collect()}
+    assert before
+
+    # snapshot: half the live rows, with fresh html
+    snap_urls = sorted(before)[: len(before) // 2]
+    snapshot = (
+        table.read(spark)
+        .filter(F.col("url").isin(snap_urls))
+        .select("url", "html", "lang")
+        .withColumn("html", F.concat(F.lit(b"<p>snap</p>")))
+    )
+    observed = dt.datetime(2030, 1, 1)
+    stats = reconcile_snapshot(
+        spark, snapshot, table, 1, CFG, observed_at=observed, delete_missing=True
+    )
+    assert not stats.skipped
+    after = table.read(spark)
+    urls_after = {r["url"] for r in after.select("url").collect()}
+    assert urls_after == set(snap_urls)  # missing keys tombstoned
+    row = after.limit(1).collect()[0]
+    assert row["warc_ts"] == observed
+    assert row["text"] == "snap"  # projection re-ran on snapshot payload
+
+    # idempotent: re-delivering the reconcile epoch is a no-op
+    assert reconcile_snapshot(
+        spark, snapshot, table, 1, CFG, observed_at=observed, delete_missing=True
+    ).skipped
+
+
+def test_reconcile_does_not_regress_newer_events(spark, tmp_path):
+    """A snapshot observed BEFORE an event's warc_ts must not overwrite it."""
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    feed = gen_feed_df(spark, 300).drop("epoch_hint")
+    apply_changes(spark, feed, table, 0, CFG)
+    state = {r["url"]: r["warc_ts"] for r in table.read(spark).collect()}
+    old_snapshot = table.read(spark).select("url", "html", "lang")
+    reconcile_snapshot(
+        spark, old_snapshot, table, 1, CFG,
+        observed_at=dt.datetime(2000, 1, 1),  # ancient observation
+    )
+    after = {r["url"]: r["warc_ts"] for r in table.read(spark).collect()}
+    assert after == state
+
+
+def test_multimodal_decode_and_features(spark):
+    media = make_media_df(spark, n=30)
+    meta = decode_metadata(media)
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert len(rows) == 30
+    assert all(r["valid"] for r in rows.values())
+    assert {r["kind"] for r in rows.values()} == {"image", "audio", "video"}
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert all(f["digest"] is not None and 0 <= f["mean_byte"] <= 255 for f in feats.values())
+    # deterministic: same payload → same digest across runs
+    feats2 = {r["media_id"]: r["digest"] for r in extract_features(media).collect()}
+    assert feats2 == {k: v["digest"] for k, v in feats.items()}
+
+
+def test_multimodal_invalid_payload_flagged(spark):
+    from pyspark.sql import types as T
+
+    bad = spark.createDataFrame(
+        [(99, b"NOTMAGIC-garbage")],
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    r = decode_metadata(bad).collect()[0]
+    assert r["valid"] is False and r["kind"] is None
+
+
+def test_frame_sampling_expands_rows(spark):
+    media = make_media_df(spark, n=30)
+    frames = sample_frames(media, every=2)
+    got = frames.collect()
+    assert got  # video rows exist
+    from qwatch_spark.operators.multimodal import FRAME_BYTES, _parse_header
+
+    meta = {r["media_id"]: r for r in decode_metadata(media).collect()}
+    by_media: dict[int, list] = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+        assert len(bytes(r["frame"])) == FRAME_BYTES
+    for mid, rows in by_media.items():
+        assert meta[mid]["kind"] == "video"
+        n_frames = meta[mid]["dim_b"]
+        assert len(rows) == (n_frames + 1) // 2
+        assert sorted(r["frame_no"] for r in rows) == list(range(0, n_frames, 2))
+
+
+def test_real_codec_raises(spark):
+    media = make_media_df(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        decode_metadata(media, codec="real")
