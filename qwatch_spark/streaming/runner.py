@@ -20,7 +20,10 @@ offsets are checkpointed, and the sink is the idempotent epoch-tagged
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from qwatch_spark.config import PipelineConfig
 from qwatch_spark.operators.apply import ApplyStats, apply_changes
@@ -46,6 +49,11 @@ def run_stream(
     def _apply(batch_df, epoch_id: int) -> None:
         table = SnapshotTable(table_path)  # reload manifest each epoch
         valid, dead = split_dead_letter(batch_df)
+        # dead-letter side output (the reference turns decode errors into
+        # events, inputs/docker-events.go:49-55; we keep them queryable)
+        dead.withColumn("_dead_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(os.path.join(table_path, "dead_letter"))
         stats.append(apply_changes(spark, valid, table, epoch_id, cfg))
 
     stream = read_feed_stream(

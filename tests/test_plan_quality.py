@@ -1,0 +1,83 @@
+"""Plan-quality gates: the physical plans must keep the properties the
+engine is designed around — filter/column pushdown into the parquet scan,
+broadcast joins for small dimensions, partial (map-side) aggregation for
+the dedup, and no Python row-at-a-time UDFs in JVM-expressible paths.
+These are executable .explain() assertions, not eyeball checks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qwatch_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q.ld(spark, SF, "events").filter(F.col("event_id") < 100).select("event_id")
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = q.ld(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_dimension_join_is_broadcast(spark):
+    p = plan(q.q11_fk_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_uses_partial_aggregation(spark):
+    """max_by dedup must partially aggregate map-side (skew absorption):
+    two aggregate nodes around one Exchange — a hot key collapses to one
+    row per map task BEFORE the shuffle. (Spark picks SortAggregate for
+    struct-valued buffers; partial+final is what matters.) The
+    row_number/Window formulation would shuffle every raw row."""
+    p = plan(q.q01_dedup_latest(spark, SF))
+    n_aggs = p.count("HashAggregate") + p.count("ObjectHashAggregate") + p.count(
+        "SortAggregate"
+    )
+    assert n_aggs >= 2 and "Exchange" in p
+    assert "Window" not in p
+
+
+def test_gates_push_into_feed_scan(spark, tmp_path):
+    """Pipeline gates (valid_url/lang) must reach the change-feed scan as
+    pushed filters — rules are Column exprs, not opaque UDFs."""
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.operators.rules import apply_rules
+    from qwatch_spark.sources.feed import read_feed
+
+    write_feed_files(spark, str(tmp_path / "feed"), 500, files=1)
+    feed = read_feed(spark, str(tmp_path / "feed"))
+    gated = apply_rules(feed, PipelineConfig(), kind="gate")
+    p = plan(gated.select("url", "lang", "op"))
+    assert "PushedFilters" in p and "In(lang" in p
+
+
+def test_whole_stage_codegen_covers_projections(spark):
+    """In formatted explain, `*`-prefixed nodes are inside a
+    WholeStageCodegen span — projection and filter must both be."""
+    p = plan(q.q05_project_envelope(spark, SF))
+    assert "* Project" in p and "* Filter" in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+def test_no_python_udf_in_jvm_paths(spark):
+    """Every oracle-checked query except none should stay JVM-side."""
+    for name, (fn, sql) in q.REGISTRY.items():
+        if sql is None:
+            continue
+        p = plan(fn(spark, SF))
+        assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
