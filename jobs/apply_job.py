@@ -1,0 +1,73 @@
+"""Cluster entrypoint: tail a change-feed directory and apply it to a
+SnapshotTable with exactly-once semantics.
+
+Usage (cluster):
+    spark-submit --py-files dist/qwatch_spark.zip jobs/apply_job.py \
+        --feed-dir s3://bucket/feed --table s3://bucket/table \
+        --checkpoint s3://bucket/ckpt [--config pipeline.json] \
+        [--once | --interval 30s] [--n-buckets 4096]
+
+Usage (local smoke):
+    python jobs/apply_job.py --feed-dir /tmp/feed --table /tmp/table \
+        --checkpoint /tmp/ckpt --once
+
+The daemon flag mirrors the reference's `qwatch server --ticks N`
+bounded run (/root/reference/cmd/server.go:18-22): `--once` drains what
+exists and exits (Trigger.AvailableNow); `--interval` keeps tailing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feed-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", help="PipelineConfig JSON file")
+    p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--once", action="store_true", help="drain and exit")
+    p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+    from qwatch_spark.session import get_spark
+    from qwatch_spark.streaming.runner import run_stream
+
+    cfg = PipelineConfig.from_json_file(args.config) if args.config else PipelineConfig()
+    if args.n_buckets:
+        cfg = PipelineConfig.from_dict(
+            {**cfg.__dict__, "rules": cfg.rules, "n_buckets": args.n_buckets}
+        )
+
+    spark = get_spark(app_name="qwatch_apply", master=args.master)
+    SnapshotTable.create(args.table, n_buckets=cfg.n_buckets)  # no-op if exists
+    stats = run_stream(
+        spark,
+        args.feed_dir,
+        args.table,
+        args.checkpoint,
+        cfg,
+        available_now=args.once or not args.interval,
+        processing_time=args.interval,
+    )
+    summary = {
+        "epochs": len(stats),
+        "events": sum(s.n_events for s in stats),
+        "upserts": sum(s.n_upserts for s in stats),
+        "deletes": sum(s.n_deletes for s in stats),
+        "skipped": sum(1 for s in stats if s.skipped),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -866,6 +866,187 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# classic analytics (agg strength) + time-ordered operators
+# --------------------------------------------------------------------------
+
+def q39_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (decimal-exact sums)."""
+    li = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base"),
+            _dec_rev("l_extendedprice", "l_discount").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+
+def q40_asof_join(spark, sf_dir):
+    """As-of join: each click sees the latest signup value ≤ its ts."""
+    from qwatch_spark.operators.asof import asof_join
+    from qwatch_spark.operators.dedup import latest_wins
+
+    ev = ld(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    # deterministic right side: one row per (user, ts)
+    signups = latest_wins(
+        signups.withColumn("_k", F.concat_ws("|", "user_id", "ts")),
+        key="_k",
+        order=("value",),
+    ).drop("_k")
+    out = asof_join(clicks, signups, key="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_asof").alias("signup_value")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH signups AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       (SELECT s.value FROM signups s
+        WHERE s.user_id = c.user_id AND s.ts <= c.ts
+        ORDER BY s.ts DESC LIMIT 1) AS signup_value
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
+def q41_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) + per-session stats."""
+    from qwatch_spark.operators.asof import session_stats
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return session_stats(ev, gap_minutes=30, order_tiebreak="event_id")
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id < 30
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q42_cube_rollup(spark, sf_dir):
+    li = ld(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_qty"),
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q43_pivot(spark, sf_dir):
+    ev = ld(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error"])
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events WHERE user_id < 10 GROUP BY user_id
+"""
+
+
+def q44_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group."""
+    ev = ld(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q45_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 BUILDING-segment orders by revenue."""
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders")
+    li = ld(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dec_rev("l_extendedprice", "l_discount").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
 def q38_cosine_topk_fast(spark, sf_dir):
     """numpy/Arrow throughput variant of q31 (rows-only: float64 SIMD
     reduction order differs from the decimal-exact oracle at the last
@@ -940,6 +1121,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q36_quality_score": (q36_quality_score, SQL_QUALITY),
     "q37_fingerprint": (q37_fingerprint, SQL_FINGERPRINT),
     "q38_cosine_topk_fast": (q38_cosine_topk_fast, None),
+    "q39_pricing_summary": (q39_pricing_summary, SQL_PRICING_SUMMARY),
+    "q40_asof_join": (q40_asof_join, SQL_ASOF_JOIN),
+    "q41_sessionize": (q41_sessionize, SQL_SESSIONIZE),
+    "q42_cube_rollup": (q42_cube_rollup, SQL_CUBE_ROLLUP),
+    "q43_pivot": (q43_pivot, SQL_PIVOT),
+    "q44_percentiles": (q44_percentiles, SQL_PERCENTILES),
+    "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
 }
 

@@ -94,15 +94,29 @@ def run(cpus: int, n_events: int) -> dict:
 
 
 def main() -> None:
-    n_events = int(os.environ.get("QWATCH_SCALING_EVENTS", "8000000"))
+    n_events = int(os.environ.get("QWATCH_SCALING_EVENTS", "16000000"))
     n_small = int(os.environ.get("QWATCH_SCALING_N", "4"))
-    a = run(n_small, n_events)
-    b = run(n_small * 4, n_events)
+    trials = int(os.environ.get("QWATCH_SCALING_TRIALS", "3"))
+
+    # The host shows up to 3x run-to-run variance on IDENTICAL runs
+    # (hypervisor co-tenancy; steal% reads 0 but wall time swings), so
+    # trials are interleaved A,B,A,B,... and each level takes its BEST
+    # wall time — the standard least-interference estimator.
+    runs_a, runs_b = [], []
+    for i in range(trials):
+        runs_a.append(run(n_small, n_events))
+        runs_b.append(run(n_small * 4, n_events))
+        print(f"trial {i}: A={runs_a[-1]['wall_sec']}s B={runs_b[-1]['wall_sec']}s",
+              flush=True)
+    a = min(runs_a, key=lambda r: r["wall_sec"])
+    b = min(runs_b, key=lambda r: r["wall_sec"])
     assert a["final_rows"] == b["final_rows"], "parallelism changed the result!"
     eff = (b["events_per_sec"] / a["events_per_sec"]) / 4
     result = {
         "run_a": a,
         "run_b": b,
+        "all_walls_a": [r["wall_sec"] for r in runs_a],
+        "all_walls_b": [r["wall_sec"] for r in runs_b],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "passed": eff >= 0.8,
@@ -120,6 +134,9 @@ Same deterministic feed ({n_events:,} events, 2 epochs, n_buckets=64,
 2000 domains x 5000 pages), same code; only `spark.master` + shuffle
 partitions differ. Fresh JVM per run, 2 warmup epochs excluded, shuffle
 + table on tmpfs (host has one ~140 MB/s disk — see script docstring).
+Best of {trials} interleaved trials per level (host shows up to 3x
+run-to-run variance on identical runs; all walls: A={[r['wall_sec'] for r in runs_a]},
+B={[r['wall_sec'] for r in runs_b]}).
 Final state identical across runs ({a['final_rows']:,} rows).
 
 | run | master | events/sec | wall (s) |
