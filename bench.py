@@ -46,27 +46,44 @@ def force(df) -> None:
 
 
 def bench_cdc_apply(spark, n_events: int, cpus: int) -> dict:
+    from qwatch_spark.operators.apply import apply_changes
+
     cfg = PipelineConfig(n_buckets=max(32, cpus))
-    tmp = tempfile.mkdtemp(prefix="qwatch_bench_")
+    tmp = tempfile.mkdtemp(prefix="qwatch_bench_", dir=_fast_dir())
+    # warmup epoch (excluded): C2 JIT tiering + codecs + python workers
+    wt = SnapshotTable.create(f"{tmp}/warm", n_buckets=cfg.n_buckets)
+    warm = gen_feed_df(spark, 100_000, num_partitions=cpus * 2).drop("epoch_hint")
+    apply_changes(spark, warm, wt, 0, cfg)
+
     table = SnapshotTable.create(f"{tmp}/table", n_buckets=cfg.n_buckets)
     feed = gen_feed_df(
         spark,
         n_events,
-        n_domains=200,
-        pages_per_domain=2000,
-        epoch_size=max(1, n_events // 4),
+        n_domains=2000,
+        pages_per_domain=5000,
+        epoch_size=max(1, n_events // 2),
         num_partitions=cpus * 2,
     )
     t0 = time.time()
     stats = replay_feed(spark, feed, table, cfg)
     wall = time.time() - t0
-    return {
+    out = {
         "cdc_events": n_events,
         "cdc_wall_sec": round(wall, 3),
         "cdc_events_per_sec": round(n_events / wall, 1),
         "cdc_epochs": len(stats),
         "cdc_final_rows": table.read(spark).count(),
     }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _fast_dir() -> str | None:
+    """tmpfs if available — the host's single ~141 MB/s virtio disk is
+    not representative of cluster storage and dominates otherwise."""
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
 
 
 def main() -> None:
@@ -75,11 +92,14 @@ def main() -> None:
     n_events = int(os.environ.get("QWATCH_BENCH_EVENTS", "1000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if _fast_dir():
+        extra["spark.local.dir"] = os.path.join(_fast_dir(), "qwatch_bench_spill")
     spark = get_spark(
         app_name="qwatch_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
 
     registry = q.queries()
