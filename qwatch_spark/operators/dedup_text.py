@@ -38,6 +38,58 @@ def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def doc_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) distinct char-n-gram pairs — the classic MinHash
+    shingling unit (word tokens miss reorderings; char shingles don't)."""
+    idx = F.explode(
+        F.sequence(F.lit(1), F.length(text_col) - (n - 1))
+    ).alias("i")
+    return (
+        docs.select(id_col, F.col(text_col), idx)
+        .select(id_col, F.col(text_col).substr(F.col("i"), F.lit(n)).alias("word"))
+        .distinct()
+    )
+
+
+def minhash_signatures_char(
+    docs: DataFrame, n: int = 3, n_hashes: int = 4
+) -> DataFrame:
+    """Minhash over char-n-gram shingles (same md5 hash family)."""
+    return doc_shingles(docs, n).groupBy("doc_id").agg(
+        *[_minhash_col(i) for i in range(n_hashes)]
+    )
+
+
+def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Term frequency × inverse document frequency per (doc, word).
+    tf = raw in-doc count, idf = ln(N/df); plain Column math, exact
+    within float64 (no accumulation-order dependence: tf and df are
+    integer aggregates, the product is one scalar op)."""
+    words = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    df_counts = (
+        words.select(id_col, "word").distinct().groupBy("word").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()
+    return (
+        tf.join(F.broadcast(df_counts), "word")
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical texts: digest, representative, group size."""
     return (

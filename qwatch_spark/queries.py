@@ -23,7 +23,9 @@ from qwatch_spark.operators.dedup_text import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_char,
     simhash,
+    tfidf,
 )
 from qwatch_spark.operators.similarity import (
     ann_topk_lsh,
@@ -688,6 +690,50 @@ WHERE ROUND(n_common * 1.0 / (s1.n_words + s2.n_words - n_common), 6) >= 0.5
 """
 
 
+def q46_minhash_char_shingles(spark, sf_dir):
+    """Char-trigram shingle MinHash (docs < 50 — shingle explosion is
+    length(text)× rows; at scale you'd sample or hash-prefilter)."""
+    docs = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures_char(docs, n=3, n_hashes=4)
+
+
+SQL_MINHASH_CHAR = """
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 100000) t(i)),
+shingles AS (
+  SELECT DISTINCT doc_id, substr(text, i, 3) AS word
+  FROM documents JOIN idx ON i <= length(text) - 2
+  WHERE doc_id < 50
+)
+SELECT doc_id,
+       min(md5('0|' || word)) AS mh0, min(md5('1|' || word)) AS mh1,
+       min(md5('2|' || word)) AS mh2, min(md5('3|' || word)) AS mh3
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q47_tfidf(spark, sf_dir):
+    docs = ld(spark, sf_dir, "documents")
+    return tfidf(docs).filter(F.col("doc_id") < 20)
+
+
+SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), dfc AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM words) d GROUP BY word
+)
+SELECT tf.doc_id, tf.word, tf.tf, dfc.df,
+       ROUND(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfc.df), 6) AS tfidf
+FROM tf JOIN dfc USING (word)
+WHERE tf.doc_id < 20
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops: similarity search
 # --------------------------------------------------------------------------
@@ -1128,6 +1174,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q43_pivot": (q43_pivot, SQL_PIVOT),
     "q44_percentiles": (q44_percentiles, SQL_PERCENTILES),
     "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
+    "q46_minhash_char_shingles": (q46_minhash_char_shingles, SQL_MINHASH_CHAR),
+    "q47_tfidf": (q47_tfidf, SQL_TFIDF),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
 }
 
