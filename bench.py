@@ -48,7 +48,10 @@ def force(df) -> None:
 def bench_cdc_apply(spark, n_events: int, cpus: int) -> dict:
     from qwatch_spark.operators.apply import apply_changes
 
-    cfg = PipelineConfig(n_buckets=max(32, cpus))
+    # auto = merge-on-read deltas + bounded compaction: the scale path
+    # (apply cost O(batch), not O(table)); correctness vs cow and the
+    # oracle is pytest-gated (tests/test_delta_mode.py)
+    cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto")
     tmp = tempfile.mkdtemp(prefix="qwatch_bench_", dir=_fast_dir())
     # warmup epoch (excluded): C2 JIT tiering + codecs + python workers
     wt = SnapshotTable.create(f"{tmp}/warm", n_buckets=cfg.n_buckets)

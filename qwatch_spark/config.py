@@ -47,6 +47,16 @@ class PipelineConfig:
     rename_map: dict[str, str] = dataclasses.field(default_factory=dict)
     # bounded-run knob: max feed files per streaming micro-batch
     max_files_per_trigger: int = 16
+    # physical apply strategy:
+    #   cow   — rewrite touched buckets each epoch (read-optimized)
+    #   delta — merge-on-read: write only the epoch's updates, resolve at
+    #           read time; apply cost O(batch), independent of table size
+    #           (the 10^10-row scale path for frequent epochs)
+    #   auto  — delta commits + automatic compaction via compact_every
+    write_mode: str = "cow"
+    # auto/delta: compact any bucket once it carries more than this many
+    # delta versions (read amplification bound)
+    compact_every: int = 8
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]
@@ -58,6 +68,12 @@ class PipelineConfig:
             raise ValueError("n_buckets must be >= 1")
         if self.n_salt < 0:
             raise ValueError("n_salt must be >= 0")
+        if self.write_mode not in ("cow", "delta", "auto"):
+            raise ValueError(
+                f"write_mode must be cow|delta|auto, got {self.write_mode!r}"
+            )
+        if self.compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "PipelineConfig":

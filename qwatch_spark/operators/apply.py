@@ -153,15 +153,43 @@ def apply_changes(
                 int(epoch_id), False, 0, 0, 0, 0, int((time.time() - t0) * 1000)
             )
         t = time.time()
-        current = table.read_buckets(spark, touched, payload_schema=evolved_payload)
-        merged = merge_cdc(current, updates.drop("_b"), epoch_id, payload_cols)
-        table.commit_epoch(merged, touched, epoch_id, evolved_payload)
+        use_delta = cfg.write_mode in ("delta", "auto")
+        if use_delta:
+            # merge-on-read: commit only the epoch's updates (O(batch));
+            # readers resolve base ∪ deltas by the (warc_ts, seq) order.
+            # I-vs-U classification would need a table lookup, so delta
+            # lineage records upserts as 'U' (deletes stay exact).
+            snap = updates.drop("_b").select(
+                *payload_cols,
+                F.col("seq"),
+                (F.col("op") == "D").alias("is_deleted"),
+                F.when(F.col("op") == "D", "D").otherwise("U").alias("last_op"),
+                F.lit(int(epoch_id)).alias("last_epoch"),
+            )
+            new_version = table.commit_delta_epoch(
+                snap, touched, epoch_id, evolved_payload
+            )
+        else:
+            current = table.read_buckets(
+                spark, touched, payload_schema=evolved_payload
+            )
+            merged = merge_cdc(current, updates.drop("_b"), epoch_id, payload_cols)
+            table.commit_epoch(merged, touched, epoch_id, evolved_payload)
         phases["merge_commit"] = time.time() - t
 
         # lineage AFTER the commit point: recomputable, column-pruned scan
         # of just-written files (bucket, last_op, seq only reach the scan)
         t = time.time()
-        written = table.read_buckets(spark, touched, payload_schema=evolved_payload)
+        if use_delta:
+            from qwatch_spark.plans.snapshot_table import full_schema
+
+            written = spark.read.schema(full_schema(evolved_payload)).parquet(
+                os.path.join(table.path, "data", f"v={new_version}")
+            )
+        else:
+            written = table.read_buckets(
+                spark, touched, payload_schema=evolved_payload
+            )
         changed = written.filter(F.col("last_epoch") == int(epoch_id))
         metrics = (
             changed.withColumn("bucket", bucket_expr(table.n_buckets))
@@ -203,6 +231,14 @@ def apply_changes(
                 "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
             },
         )
+        if cfg.write_mode == "auto":
+            # bound read amplification: fold deltas once a bucket carries
+            # more than compact_every of them (atomic maintenance swap)
+            t = time.time()
+            compacted = table.compact(spark, max_deltas=cfg.compact_every)
+            if compacted:
+                phases["compact"] = time.time() - t
+
         phases = {k: round(v, 3) for k, v in phases.items()}
         if os.environ.get("QWATCH_PROFILE"):
             print(f"[apply epoch={epoch_id}] phases={phases}")

@@ -130,16 +130,36 @@ class SnapshotTable:
 
     # ---------- reads ----------
 
-    def _bucket_paths(self, buckets: list[int] | None = None) -> list[str]:
+    @staticmethod
+    def _bucket_entry(raw) -> dict:
+        """Manifest bucket entry; accepts the legacy plain-int form."""
+        if isinstance(raw, dict):
+            return raw
+        return {"base": raw, "deltas": []}
+
+    def _entries(self, buckets: list[int] | None):
         mapping = self._manifest["buckets"]
         items = (
             mapping.items()
             if buckets is None
             else ((str(b), mapping[str(b)]) for b in buckets if str(b) in mapping)
         )
-        return [
-            os.path.join(self.path, "data", f"v={v}", f"b={b}") for b, v in items
-        ]
+        return [(b, self._bucket_entry(v)) for b, v in items]
+
+    def _bucket_paths(
+        self, buckets: list[int] | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(base paths, delta paths) for the chosen buckets."""
+        base, deltas = [], []
+        for b, e in self._entries(buckets):
+            if e["base"] is not None:
+                base.append(os.path.join(self.path, "data", f"v={e['base']}", f"b={b}"))
+            for dv in e["deltas"]:
+                deltas.append(os.path.join(self.path, "data", f"v={dv}", f"b={b}"))
+        return base, deltas
+
+    def has_deltas(self, buckets: list[int] | None = None) -> bool:
+        return any(e["deltas"] for _b, e in self._entries(buckets))
 
     def read_buckets(
         self,
@@ -148,16 +168,26 @@ class SnapshotTable:
         payload_schema: T.StructType | None = None,
         include_deleted: bool = True,
     ) -> DataFrame:
-        """Read current state of given buckets (all if None) with the given
-        payload schema — old files missing newly-evolved columns are
-        null-filled by the parquet reader (schema evolution without
-        rewriting history)."""
+        """Current resolved state of the chosen buckets (all if None).
+
+        Merge-on-read: when delta files exist, base ∪ deltas is reduced to
+        one row per url by the (warc_ts, seq, last_epoch) total order — the
+        same latest-wins contract the writer enforces. Old files missing
+        newly-evolved columns are null-filled by the parquet reader
+        (schema evolution without rewriting history)."""
         schema = full_schema(payload_schema or self.payload_schema)
-        paths = self._bucket_paths(buckets)
+        base_paths, delta_paths = self._bucket_paths(buckets)
+        paths = base_paths + delta_paths
         if not paths:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
+            if delta_paths:
+                from qwatch_spark.operators.dedup import latest_wins
+
+                df = latest_wins(
+                    df, key="url", order=("warc_ts", "seq", "last_epoch")
+                )
         if not include_deleted:
             df = df.filter(~F.col("is_deleted"))
         return df
@@ -202,11 +232,90 @@ class SnapshotTable:
         )
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
-            buckets[str(int(b))] = new_version
+            # copy-on-write: the new base subsumes any prior deltas
+            buckets[str(int(b))] = {"base": new_version, "deltas": []}
         manifest["buckets"] = buckets
         self._write_manifest(self.path, manifest)
         self._manifest = manifest
         return new_version
+
+    def commit_delta_epoch(
+        self,
+        updates: DataFrame,
+        touched_buckets: list[int],
+        epoch_id: int,
+        evolved_payload: T.StructType,
+    ) -> int:
+        """Merge-on-read commit: write ONLY the epoch's deduped updates as
+        delta files — apply cost is O(batch), independent of table size.
+        Readers resolve base ∪ deltas by the (warc_ts, seq) total order;
+        `compact()` folds deltas back into bases. The scale path for
+        high-frequency epochs over a 10^10-row table, where per-epoch
+        copy-on-write of every touched bucket would rewrite the world.
+
+        `updates` must already be in snapshot format (payload +
+        seq/is_deleted/last_op/last_epoch), one row per url."""
+        if self.has_epoch(epoch_id):
+            return self.version
+        new_version = self.version + 1
+        out = os.path.join(self.path, "data", f"v={new_version}")
+        cols = [f.name for f in full_schema(evolved_payload).fields]
+        (
+            updates.withColumn("b", bucket_expr(self.n_buckets))
+            .select("b", *cols)
+            .repartition(max(len(touched_buckets), 1), "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(out)
+        )
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        manifest["schema"] = evolved_payload.json()
+        manifest["applied_epochs"] = sorted(
+            set(manifest["applied_epochs"]) | {int(epoch_id)}
+        )
+        buckets = dict(manifest["buckets"])
+        for b in touched_buckets:
+            e = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
+            buckets[str(int(b))] = {
+                "base": e["base"],
+                "deltas": [*e["deltas"], new_version],
+            }
+        manifest["buckets"] = buckets
+        self._write_manifest(self.path, manifest)
+        self._manifest = manifest
+        return new_version
+
+    def compact(self, spark: SparkSession, max_deltas: int = 0) -> list[int]:
+        """Fold deltas into new base files for every bucket carrying more
+        than `max_deltas` delta versions. Maintenance-only: state is
+        unchanged, no epoch consumed. Returns the compacted bucket ids."""
+        victims = [
+            int(b) for b, e in self._entries(None) if len(e["deltas"]) > max_deltas
+        ]
+        if not victims:
+            return []
+        resolved = self.read_buckets(spark, victims)
+        new_version = self.version + 1
+        out = os.path.join(self.path, "data", f"v={new_version}")
+        cols = [f.name for f in full_schema(self.payload_schema).fields]
+        (
+            resolved.withColumn("b", bucket_expr(self.n_buckets))
+            .select("b", *cols)
+            .repartition(max(len(victims), 1), "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(out)
+        )
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        buckets = dict(manifest["buckets"])
+        for b in victims:
+            buckets[str(b)] = {"base": new_version, "deltas": []}
+        manifest["buckets"] = buckets
+        self._write_manifest(self.path, manifest)
+        self._manifest = manifest
+        return victims
 
     def commit_empty_epoch(self, epoch_id: int) -> None:
         """Record an epoch that produced no changes (all rows gated) —
@@ -251,9 +360,14 @@ class SnapshotTable:
     # ---------- maintenance ----------
 
     def vacuum(self) -> list[str]:
-        """Delete version dirs no longer referenced by any bucket pointer.
-        Safe because the manifest swap is the only commit point."""
-        live = {int(v) for v in self._manifest["buckets"].values()}
+        """Delete version dirs no longer referenced by any bucket pointer
+        (base or delta). Safe because the manifest swap is the only commit
+        point."""
+        live: set[int] = set()
+        for _b, e in self._entries(None):
+            if e["base"] is not None:
+                live.add(int(e["base"]))
+            live.update(int(d) for d in e["deltas"])
         removed = []
         data = os.path.join(self.path, "data")
         for entry in os.listdir(data):

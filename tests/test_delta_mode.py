@@ -1,0 +1,127 @@
+"""Merge-on-read delta commits (write_mode=delta/auto): same final state
+as copy-on-write and the oracle, with O(batch) apply cost."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.datagen import gen_feed_df, gen_feed_rows
+from qwatch_spark.operators.apply import apply_changes, replay_feed
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+from tests.oracle import oracle_final_pages
+
+N = 3000
+
+
+def engine_state(spark, table):
+    return {
+        r["url"]: (
+            r["warc_ts"],
+            bytes(r["html"]) if r["html"] is not None else None,
+            r["text"],
+            r["lang"],
+        )
+        for r in table.read(spark).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["delta", "auto"])
+def test_delta_replay_matches_oracle(spark, tmp_path, mode):
+    cfg = PipelineConfig(n_buckets=8, write_mode=mode, compact_every=2)
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    replay_feed(spark, gen_feed_df(spark, N), table, cfg)
+    table = SnapshotTable(table.path)
+    want = oracle_final_pages(gen_feed_rows(N), cfg)
+    assert engine_state(spark, table) == want
+    if mode == "auto":
+        # compaction bounded the delta chains
+        assert all(
+            len(e["deltas"]) <= 2 for _b, e in table._entries(None)
+        )
+
+
+def test_delta_equals_cow(spark, tmp_path):
+    feed = gen_feed_df(spark, N)
+    t_cow = SnapshotTable.create(str(tmp_path / "cow"), n_buckets=8)
+    t_del = SnapshotTable.create(str(tmp_path / "delta"), n_buckets=8)
+    replay_feed(spark, feed, t_cow, PipelineConfig(n_buckets=8, write_mode="cow"))
+    replay_feed(spark, feed, t_del, PipelineConfig(n_buckets=8, write_mode="delta"))
+    assert engine_state(spark, SnapshotTable(t_cow.path)) == engine_state(
+        spark, SnapshotTable(t_del.path)
+    )
+
+
+def test_delta_epoch_idempotent(spark, tmp_path):
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    batch = gen_feed_df(spark, 800).drop("epoch_hint")
+    apply_changes(spark, batch, table, 0, cfg)
+    state = engine_state(spark, table)
+    v = table.version
+    s = apply_changes(spark, batch, table, 0, cfg)
+    assert s.skipped and table.version == v
+    assert engine_state(spark, table) == state
+
+
+def test_late_events_resolve_at_read_time(spark, tmp_path):
+    """Delta mode never reads the table at apply; late/older updates and
+    delete-then-late-update still resolve correctly at read."""
+    import datetime as dt
+
+    from qwatch_spark.schema import EVENT_SCHEMA
+
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    ts = dt.datetime(2024, 6, 1)
+    url = "https://late.example.com/p/1"
+    mk = lambda seq, op, t: {
+        "seq": seq, "op": op, "url": url, "warc_ts": t,
+        "html": None if op == "D" else f"<p>v{seq}</p>".encode(),
+        "lang": None if op == "D" else "en", "source": "s", "epoch_hint": 0,
+    }
+    apply = lambda rows, e: apply_changes(
+        spark, spark.createDataFrame(rows, EVENT_SCHEMA).drop("epoch_hint"),
+        table, e, cfg,
+    )
+    import datetime as dt2
+
+    h = lambda n: ts + dt.timedelta(hours=n)
+    apply([mk(10, "I", h(2))], 0)
+    apply([mk(5, "U", h(1))], 1)      # older — must lose at read
+    assert engine_state(spark, table)[url][2] == "v10"
+    apply([mk(20, "D", h(3))], 2)     # delete
+    apply([mk(15, "U", h(2.5))], 3)   # late update after delete — stays dead
+    assert url not in engine_state(spark, table)
+    # compaction folds 4 deltas → same state
+    table.compact(spark)
+    assert url not in engine_state(spark, table)
+
+
+def test_compact_and_vacuum_preserve_state(spark, tmp_path):
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    replay_feed(spark, gen_feed_df(spark, N), table, cfg)
+    table = SnapshotTable(table.path)
+    state = engine_state(spark, table)
+    assert table.has_deltas()
+    compacted = table.compact(spark)
+    assert compacted and not table.has_deltas()
+    assert engine_state(spark, table) == state
+    removed = table.vacuum()
+    assert removed
+    assert engine_state(spark, table) == state
+
+
+def test_delta_lineage_counts(spark, tmp_path):
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    stats = replay_feed(spark, gen_feed_df(spark, N), table, cfg)
+    m = table.read_metrics(spark)
+    row = m.agg(
+        F.sum(F.col("n_insert") + F.col("n_update")).alias("up"),
+        F.sum("n_delete").alias("del"),
+    ).collect()[0]
+    assert row["up"] == sum(s.n_upserts for s in stats)
+    assert row["del"] == sum(s.n_deletes for s in stats)
