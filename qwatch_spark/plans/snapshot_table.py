@@ -110,6 +110,12 @@ class SnapshotTable:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit point
+        # manifest history → time travel (readable until vacuum drops the
+        # data files an old manifest points to)
+        hist = os.path.join(path, "manifests")
+        os.makedirs(hist, exist_ok=True)
+        with open(os.path.join(hist, f"v={manifest['version']}.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
 
     # ---------- properties ----------
 
@@ -196,6 +202,29 @@ class SnapshotTable:
         """Current table state (live rows, payload columns only)."""
         df = self.read_buckets(spark, include_deleted=include_deleted)
         return df.select(*[f.name for f in self.payload_schema.fields])
+
+    def read_version(
+        self, spark: SparkSession, version: int, include_deleted: bool = False
+    ) -> DataFrame:
+        """Time travel: table state as of a committed version (immutable
+        version dirs + per-version manifest history; valid until vacuum
+        removes unreferenced data). Raises FileNotFoundError for unknown
+        or pre-history versions."""
+        hist = os.path.join(self.path, "manifests", f"v={int(version)}.json")
+        with open(hist) as fh:
+            manifest = json.load(fh)
+        snap = SnapshotTable.__new__(SnapshotTable)
+        snap.path = self.path
+        snap._manifest = manifest
+        return snap.read(spark, include_deleted=include_deleted)
+
+    def versions(self) -> list[int]:
+        hist = os.path.join(self.path, "manifests")
+        if not os.path.isdir(hist):
+            return []
+        return sorted(
+            int(f[2:-5]) for f in os.listdir(hist) if f.startswith("v=")
+        )
 
     # ---------- commit ----------
 
