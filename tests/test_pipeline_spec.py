@@ -90,13 +90,14 @@ def test_manifest_swap_is_atomic_commit_point(spark, tmp_path):
 
     apply_changes(spark, feed, table, 0, CFG)
     m1 = json.load(open(os.path.join(table.path, "manifest.json")))
-    versions = {int(v) for v in m1["buckets"].values()}
-    assert versions == {1}
-    for b, v in m1["buckets"].items():
-        p = os.path.join(table.path, "data", f"v={v}", f"b={b}")
-        assert os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ), f"bucket {b} pointer dangling"
+    entries = {b: SnapshotTable._bucket_entry(e) for b, e in m1["buckets"].items()}
+    assert {e["base"] for e in entries.values()} == {1}
+    for b, e in entries.items():
+        for v in [e["base"], *e["deltas"]]:
+            p = os.path.join(table.path, "data", f"v={v}", f"b={b}")
+            assert os.path.isdir(p) and any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ), f"bucket {b} pointer dangling"
 
 
 def test_schema_evolution_across_stream_restart(spark, tmp_path):
