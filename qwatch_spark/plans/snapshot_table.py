@@ -218,6 +218,20 @@ class SnapshotTable:
         snap._manifest = manifest
         return snap.read(spark, include_deleted=include_deleted)
 
+    def read_changes(self, spark: SparkSession, since_version: int) -> DataFrame:
+        """Change data feed: the current winning row of every key whose
+        state changed after `since_version` — upserts AND tombstones
+        (consumers see deletes via is_deleted). Computed from per-row
+        `last_epoch` lineage against the historical manifest's applied
+        epochs; cost is one column-pruned scan of the current state."""
+        hist = os.path.join(self.path, "manifests", f"v={int(since_version)}.json")
+        with open(hist) as fh:
+            old_epochs = [int(e) for e in json.load(fh)["applied_epochs"]]
+        cur = self.read_buckets(spark, include_deleted=True)
+        if old_epochs:
+            cur = cur.filter(~F.col("last_epoch").isin(old_epochs))
+        return cur
+
     def versions(self) -> list[int]:
         hist = os.path.join(self.path, "manifests")
         if not os.path.isdir(hist):
