@@ -1093,6 +1093,41 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+def q48_intersect_keys(spark, sf_dir):
+    """§2.7 set ops: users who both clicked and purchased."""
+    ev = ld(spark, sf_dir, "events")
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    bought = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicked.intersect(bought)
+
+
+SQL_INTERSECT_KEYS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q49_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (region → nation) with subtotal rows."""
+    c = ld(spark, sf_dir, "customer")
+    n = ld(spark, sf_dir, "nation")
+    r = ld(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_cust"))
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q38_cosine_topk_fast(spark, sf_dir):
     """numpy/Arrow throughput variant of q31 (rows-only: float64 SIMD
     reduction order differs from the decimal-exact oracle at the last
@@ -1176,6 +1211,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
     "q46_minhash_char_shingles": (q46_minhash_char_shingles, SQL_MINHASH_CHAR),
     "q47_tfidf": (q47_tfidf, SQL_TFIDF),
+    "q48_intersect_keys": (q48_intersect_keys, SQL_INTERSECT_KEYS),
+    "q49_rollup": (q49_rollup, SQL_ROLLUP),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
 }
 
