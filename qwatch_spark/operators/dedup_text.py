@@ -76,8 +76,11 @@ def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         words.select(id_col, "word").distinct().groupBy("word").agg(F.count("*").alias("df"))
     )
     n_docs = docs.count()
+    # No broadcast hint on df_counts: the vocabulary grows with the corpus
+    # (billions of distinct terms at web scale). A plain shuffle join lets
+    # AQE broadcast at runtime only when the relation actually fits.
     return (
-        tf.join(F.broadcast(df_counts), "word")
+        tf.join(df_counts, "word")
         .select(
             id_col,
             "word",
@@ -111,7 +114,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
     )
 
 
-def lsh_buckets(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
+def lsh_buckets(docs: DataFrame, n_hashes: int = 16, band_size: int = 4) -> DataFrame:
     """Band the signature: bucket id = md5(concat of band's hashes).
     Docs sharing any band bucket are near-dup candidates."""
     sig = minhash_signatures(docs, n_hashes)
@@ -131,9 +134,15 @@ def lsh_buckets(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataF
     return out
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4) -> DataFrame:
     """Self-join each band bucket → distinct candidate pairs (a < b).
-    The scale path: pair generation is per-bucket, never global."""
+    The scale path: pair generation is per-bucket, never global.
+
+    Default 16 hashes × bands of 4: band-collision probability is s^4
+    for Jaccard similarity s (4 OR'd bands), so unrelated pairs
+    (s ≈ 0.1) collide with p ≈ 4e-4 while near-dups (s ≥ 0.8) are
+    caught with p ≈ 0.87 — a selective sieve, not the quadratic
+    76%-of-all-pairs blowup the old 4×2 toy config produced."""
     b = lsh_buckets(docs, n_hashes, band_size)
     l, r = b.alias("l"), b.alias("r")
     return (
@@ -148,9 +157,36 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 4, band_size: int = 2) 
     )
 
 
+def _jaccard_from_common(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc sizes → thresholded Jaccard.
+    No broadcast hints: per-doc size tables grow with the corpus; AQE
+    broadcasts at runtime when a side actually fits."""
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    return (
+        common.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Word-set Jaccard for all co-occurring pairs ≥ threshold.
-    Integer-count arithmetic → exact; refine step after LSH at scale."""
+    """EXHAUSTIVE word-set Jaccard over every co-occurring pair.
+
+    Small-n verification helper ONLY: the word↔word self-join is
+    quadratic in document frequency per token (hot stopwords join every
+    doc pair). The scale path is `near_dup_pairs`, which computes the
+    same value on LSH candidates only.
+    """
     words = doc_words(docs)
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
     w1, w2 = words.alias("w1"), words.alias("w2")
@@ -165,22 +201,37 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .agg(F.count("*").alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
-    return (
-        common.join(F.broadcast(s1), "doc_a")
-        .join(F.broadcast(s2), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("na") + F.col("nb") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _jaccard_from_common(common, sizes, threshold)
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Composed near-duplicate detector: LSH candidates → exact Jaccard
+    refined ONLY on candidates. This is the operator a training-data
+    pipeline actually calls at 100 TB.
+
+    Plan shape: the only pair-producing join is the per-bucket LSH
+    self-join (selective by construction at 16×4); the refine step joins
+    candidate pairs against the (doc_id, word) lists — intermediate size
+    is |candidates| × avg_doc_len, never |vocab-df²|. No global
+    word↔word self-join anywhere in the plan.
+    """
+    cand = lsh_candidate_pairs(docs, n_hashes, band_size)
+    words = doc_words(docs)
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    common = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
+    return _jaccard_from_common(common, sizes, threshold)
 
 
 def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from qwatch_spark.operators.dedup import latest_wins
 from qwatch_spark.operators.dedup_text import (
     exact_duplicates,
-    jaccard_pairs,
     lsh_candidate_pairs,
+    near_dup_pairs,
     minhash_signatures,
     minhash_signatures_char,
     simhash,
@@ -165,10 +165,11 @@ def q06_json_attr_extract(spark, sf_dir):
 
 SQL_JSON_ATTR_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS k_sum,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT))
+            AS BIGINT) AS k_sum,
        count(*) AS n,
-       ROUND(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) * 1.0
-             / count(*), 6) AS k_avg
+       ROUND(CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT))
+                  AS BIGINT) * 1.0 / count(*), 6) AS k_avg
 FROM events GROUP BY event_type
 """
 
@@ -405,9 +406,9 @@ def q17_opcode_counts(spark, sf_dir):
 
 
 SQL_OPCODE_COUNTS = """
-SELECT SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-       SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
-       SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete
+SELECT count(*) FILTER (WHERE op = 'I') AS n_insert,
+       count(*) FILTER (WHERE op = 'U') AS n_update,
+       count(*) FILTER (WHERE op = 'D') AS n_delete
 FROM (SELECT CASE WHEN event_type = 'error' THEN 'D'
                   WHEN event_type IN ('click', 'purchase') THEN 'U'
                   ELSE 'I' END AS op
@@ -620,27 +621,38 @@ FROM words GROUP BY doc_id
 """
 
 
-def q28_lsh_candidate_pairs(spark, sf_dir):
-    return lsh_candidate_pairs(
-        ld(spark, sf_dir, "documents"), n_hashes=4, band_size=2
+def _lsh_cand_cte(n_hashes: int, band_size: int) -> str:
+    """sig → bands → cand CTEs matching lsh_candidate_pairs(n_hashes,
+    band_size) exactly (same md5 hash family, same band bucketing)."""
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || word)) AS mh{i}" for i in range(n_hashes)
+    )
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = " || '|' || ".join(
+            f"mh{b * band_size + j}" for j in range(band_size)
+        )
+        bands.append(f"  SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    return (
+        f", sig AS (\n  SELECT doc_id,\n         {mins}\n"
+        "  FROM words GROUP BY doc_id\n), bands AS (\n"
+        + "\n  UNION ALL\n".join(bands)
+        + "\n), cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+        "  FROM bands l JOIN bands r\n"
+        "    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id\n)"
     )
 
 
-SQL_LSH_PAIRS = _WORDS_CTE + """
-, sig AS (
-  SELECT doc_id,
-         min(md5('0|' || word)) AS mh0, min(md5('1|' || word)) AS mh1,
-         min(md5('2|' || word)) AS mh2, min(md5('3|' || word)) AS mh3
-  FROM words GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bucket FROM sig
+def q28_lsh_candidate_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        ld(spark, sf_dir, "documents"), n_hashes=16, band_size=4
+    )
+
+
+SQL_LSH_PAIRS = (
+    _WORDS_CTE + _lsh_cand_cte(16, 4) + "\nSELECT doc_a, doc_b FROM cand"
 )
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-"""
 
 
 def _simhash_sql(n_bits: int = 16) -> str:
@@ -669,16 +681,22 @@ def q29_simhash(spark, sf_dir):
 SQL_SIMHASH = _simhash_sql(16)
 
 
-def q30_jaccard_pairs(spark, sf_dir):
-    return jaccard_pairs(ld(spark, sf_dir, "documents"), threshold=0.5)
+def q30_near_dup_pairs(spark, sf_dir):
+    """Composed LSH→Jaccard near-dup: candidates from the 16×4 sieve,
+    exact Jaccard refined on candidates only (the scale plan — the old
+    exhaustive word↔word self-join is retired to a small-n test helper)."""
+    return near_dup_pairs(
+        ld(spark, sf_dir, "documents"), n_hashes=16, band_size=4, threshold=0.5
+    )
 
 
-SQL_JACCARD_PAIRS = _WORDS_CTE + """
+SQL_NEAR_DUP_PAIRS = _WORDS_CTE + _lsh_cand_cte(16, 4) + """
 , sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
 common AS (
-  SELECT w1.doc_id AS doc_a, w2.doc_id AS doc_b, count(*) AS n_common
-  FROM words w1 JOIN words w2
-    ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN words w1 ON w1.doc_id = c.doc_a
+  JOIN words w2 ON w2.doc_id = c.doc_b AND w2.word = w1.word
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -1001,8 +1019,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1193,7 +1211,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q27_minhash_signatures": (q27_minhash_signatures, SQL_MINHASH),
     "q28_lsh_candidate_pairs": (q28_lsh_candidate_pairs, SQL_LSH_PAIRS),
     "q29_simhash": (q29_simhash, SQL_SIMHASH),
-    "q30_jaccard_pairs": (q30_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "q30_near_dup_pairs": (q30_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
     "q31_cosine_topk": (q31_cosine_topk, SQL_COSINE_TOPK),
     "q32_ann_lsh_topk": (q32_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "q33_embedding_near_dups": (q33_embedding_near_dups, SQL_NEAR_DUPS),

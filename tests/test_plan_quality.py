@@ -74,6 +74,43 @@ def test_whole_stage_codegen_covers_projections(spark):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
+def test_no_unbounded_broadcast_hints(spark):
+    """Relations that grow with the corpus (vocab df counts, per-doc size
+    tables) must NOT carry explicit broadcast hints — an explicit hint on
+    an unbounded relation is a driver OOM at scale. AQE may still
+    broadcast at runtime when a side actually fits; what we assert is
+    that the *logical* plan carries no forced broadcast on these paths."""
+    from qwatch_spark.operators.dedup_text import jaccard_pairs, near_dup_pairs, tfidf
+
+    docs = q.ld(spark, SF, "documents")
+    for df in (tfidf(docs), jaccard_pairs(docs), near_dup_pairs(docs)):
+        logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        assert "UnresolvedHint" not in logical
+        assert "hints=[broadcast]" not in logical.replace(" ", "").lower()
+
+
+def test_near_dup_has_no_global_word_self_join(spark):
+    """q30's plan must generate pairs only from LSH buckets: the word
+    lists may be joined against the candidate set, but never word↔word
+    against themselves (the quadratic stopword blowup). Detectable as:
+    no join condition on w1.word = w2.word with a doc_id inequality."""
+    from qwatch_spark.operators.dedup_text import near_dup_pairs
+
+    docs = q.ld(spark, SF, "documents")
+    p = plan(near_dup_pairs(docs))
+    # The unbucketed form shows a non-equi join predicate (doc_id < doc_id)
+    # in a SortMergeJoin/BroadcastHashJoin condition alongside word=word.
+    # In the composed plan the only inequality join is the LSH bucket
+    # self-join keyed on (band, bucket) — word joins are pure equi-joins
+    # on (doc_id, word).
+    import re
+
+    for m in re.finditer(r"Join condition:.*", p):
+        cond = m.group(0)
+        if "word" in cond:
+            assert "<" not in cond, f"global word self-join present: {cond}"
+
+
 def test_no_python_udf_in_jvm_paths(spark):
     """Every oracle-checked query except none should stay JVM-side."""
     for name, (fn, sql) in q.REGISTRY.items():

@@ -5,9 +5,12 @@ simhash hamming locality sanity."""
 import pytest
 from pyspark.sql import functions as F
 
+import hashlib
+
 from qwatch_spark.operators.dedup_text import (
     jaccard_pairs,
     lsh_candidate_pairs,
+    near_dup_pairs,
 )
 from qwatch_spark.operators.similarity import (
     ann_topk_lsh,
@@ -58,8 +61,8 @@ def test_lsh_buckets_partition_all_vectors(emb):
 
 def test_lsh_candidates_have_high_jaccard_recall(docs):
     """Pairs with very high word-set Jaccard should mostly share an LSH
-    band bucket (4 hashes, 2 bands → P(candidate) = 1-(1-s²)² ≈ 0.97 at
-    s=0.9)."""
+    band bucket (16 hashes, 4 bands of 4 → P(candidate) = 1-(1-s⁴)⁴
+    ≈ 0.98 at s=0.9)."""
     strong = {
         (r["doc_a"], r["doc_b"])
         for r in jaccard_pairs(docs, threshold=0.9).collect()
@@ -73,15 +76,67 @@ def test_lsh_candidates_have_high_jaccard_recall(docs):
 
 
 def test_lsh_refine_composition(docs):
-    """The scale path: LSH candidates → exact Jaccard refine must be a
-    subset of the raw pairwise result at the same threshold."""
+    """near_dup_pairs (LSH→refine, the scale plan) must equal the
+    exhaustive Jaccard restricted to the LSH candidate set — same pairs,
+    bit-identical jaccard values."""
     raw = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in jaccard_pairs(docs, threshold=0.5).collect()
     }
-    cand = lsh_candidate_pairs(docs)
-    refined = jaccard_pairs(docs, threshold=0.5).join(
-        cand, ["doc_a", "doc_b"], "left_semi"
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    composed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    expected = {p: j for p, j in raw.items() if p in cands}
+    assert composed == expected
+
+
+def _synth_corpus(spark, n_docs=300, doc_len=60, vocab=5000, n_dups=15):
+    """Deterministic realistic-vocabulary corpus: random docs share
+    ~doc_len²/vocab ≈ 0.7 words (Jaccard ≈ 0.006); n_dups planted
+    near-dups clone a base doc with 2 of doc_len words replaced
+    (Jaccard ≈ 0.93)."""
+    rows = []
+    for d in range(n_docs):
+        words = [
+            "w%d"
+            % (
+                int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16)
+                % vocab
+            )
+            for i in range(doc_len)
+        ]
+        rows.append((d, " ".join(words)))
+    for j in range(n_dups):
+        w = rows[j][1].split(" ")
+        w[0], w[doc_len // 2] = "zdup0", "zdup1"
+        rows.append((n_docs + j, " ".join(w)))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lsh_selectivity_on_realistic_vocab(spark):
+    """The 16×4 default must be a SIEVE on a realistic vocabulary:
+    candidate pairs < 5% of all pairs, while catching the planted
+    near-dups. (The sf fixture's 31-word vocabulary makes every doc pair
+    ~0.5-similar, so selectivity is asserted on a synthesized corpus.)"""
+    n_docs, n_dups = 300, 15
+    docs = _synth_corpus(spark, n_docs=n_docs, n_dups=n_dups)
+    n = n_docs + n_dups
+    all_pairs = n * (n - 1) // 2
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert len(cands) / all_pairs < 0.05, (
+        f"LSH not selective: {len(cands)}/{all_pairs}"
     )
-    for r in refined.collect():
-        assert raw[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+    planted = {(j, n_docs + j) for j in range(n_dups)}
+    caught = planted & cands
+    assert len(caught) / n_dups >= 0.8, f"planted recall {len(caught)}/{n_dups}"
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    assert caught <= found
