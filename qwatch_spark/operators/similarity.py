@@ -3,13 +3,16 @@
 - `cosine_topk` — brute-force cosine top-k against a query vector: the
   correctness baseline. O(n·d) per query; fine for re-ranking, wrong as
   the primary index at 10^9 vectors.
-- `lsh_sign_buckets` / `ann_topk_lsh` — sign-random-projection LSH:
-  bucket by the sign pattern of the first `n_planes` dimensions (a
-  deterministic, data-independent projection — portable to any SQL
-  oracle), search only the query's bucket. The scale path: the bucket
-  join prunes the candidate set before any distance math.
+- `lsh_rand_buckets` / `ann_topk_lsh` — sign-random-projection LSH with
+  SEEDED random hyperplanes: integer coefficients derived from
+  md5(seed:plane:dim), materialized as literals so any SQL engine
+  reproduces the exact same buckets. Planes are split into bands
+  (OR-construction): vectors are candidates if they collide in ANY
+  band, which controls recall independently of precision — the
+  single-probe first-k-dims hack this replaces had data-correlated
+  planes and uncontrolled recall.
 - `cosine_near_dup_pairs` — embedding near-duplicate pairs ≥ threshold
-  (LSH-bucketed, then exact cosine refine within bucket).
+  (banded-LSH candidates, then exact cosine refine on candidates only).
 
 Numerics: float32 is widened to float64 (exact), products are summed as
 DECIMAL(30,15) — decimal addition is associative, so the reduction is
@@ -22,6 +25,8 @@ functions) — JVM-side, no UDFs.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -118,24 +123,70 @@ def cosine_topk_fast(
     )
 
 
-def lsh_sign_buckets(
+def plane_coeffs(n_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """Seeded random hyperplane matrix: c[p][j] ∈ [-8, 7] from
+    md5(seed:p:j). Data-independent, uniformly mixed, and — because the
+    coefficients are small integers materialized as literals — exactly
+    reproducible by any SQL engine (the DuckDB oracle inlines the same
+    matrix as a VALUES table)."""
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8], 16) % 16)
+            - 8
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _plane_dot(vec: Column, coeffs: list[int]) -> Column:
+    """Exact (decimal-summed) projection of `vec` onto an integer plane."""
+    carr = F.array(*[F.lit(c) for c in coeffs])
+    prods = F.zip_with(vec, carr, lambda x, c: (x.cast("double") * c).cast(_DEC))
+    return _dec_sum(prods).cast("double")
+
+
+def lsh_rand_buckets(
     vectors: DataFrame,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    dim: int = 64,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucket id = bit pattern of sign(dim_i) for i in [0, n_planes)."""
-    bits = [
-        F.when(
-            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << (n_planes - 1 - i))
-        ).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    expr = bits[0]
-    for b in bits[1:]:
-        expr = expr + b
+    """One row per (vector, band): bucket = sign-bit pattern of the
+    band's hyperplane projections (n_planes // n_bands bits each).
+
+    OR-construction: downstream ops treat vectors as candidates if they
+    collide in ANY band — recall 1-(1-p^b)^L for per-plane agreement p,
+    tunable via (n_planes, n_bands) instead of praying over one probe.
+    Single scan of the corpus: bands are exploded from one projection,
+    not unioned re-scans."""
+    coeffs = plane_coeffs(n_planes, dim, seed)
+    bpb = n_planes // n_bands
+    band_structs = []
+    for b in range(n_bands):
+        expr = None
+        for j in range(bpb):
+            p = b * bpb + j
+            bit = (
+                F.when(
+                    _plane_dot(F.col(vec_col), coeffs[p]) >= 0,
+                    F.lit(1 << (bpb - 1 - j)),
+                )
+                .otherwise(F.lit(0))
+            )
+            expr = bit if expr is None else expr + bit
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), expr.cast("int").alias("bucket")
+            )
+        )
     return vectors.select(
-        F.col(id_col), F.col(vec_col), expr.cast("int").alias("bucket")
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -143,19 +194,42 @@ def ann_topk_lsh(
     vectors: DataFrame,
     query_id: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    dim: int = 64,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's sign bucket."""
-    bucketed = lsh_sign_buckets(vectors, n_planes, id_col, vec_col)
-    q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("bucket").alias("_qbucket")
+    """Approximate top-k: exact cosine scored only on vectors sharing at
+    least one band bucket with the query (multi-band OR candidates).
+
+    Tuning: per-plane agreement for angle θ is p = 1-θ/π; band recall is
+    1-(1-p^bits)^bands. Top-k targets are often only moderately similar
+    (p ≈ 0.6), so the default uses many SHORT bands (8 bands × 2 bits →
+    recall ≈ 0.97 at p = 0.6). At corpus scale raise n_planes and bits
+    per band together (e.g. 128 planes × 16 bands of 8) so each band
+    still has enough buckets to keep candidate sets bounded."""
+    bucketed = lsh_rand_buckets(
+        vectors, n_planes, n_bands, dim, seed, id_col, vec_col
     )
-    cand = bucketed.join(
-        F.broadcast(q), F.col("bucket") == F.col("_qbucket")
-    ).filter(F.col(id_col) != query_id)
-    scored = cand.select(
+    qb = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col("band").alias("_qband"), F.col("bucket").alias("_qbucket")
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("_qband"))
+            & (F.col("bucket") == F.col("_qbucket")),
+        )
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col)
+        .distinct()
+    )
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
         F.col(id_col), cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
@@ -164,22 +238,35 @@ def ann_topk_lsh(
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs (a<b) with cosine ≥ threshold, candidate-pruned
-    by sign-LSH bucket equality (recall<1 by design — the scale path)."""
-    b = lsh_sign_buckets(vectors, n_planes, id_col, vec_col)
-    l = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    """Near-duplicate pairs (a<b) with cosine ≥ threshold: candidates
+    from per-band bucket self-joins (never a global cross join), distinct
+    across bands, then exact cosine refined on candidates only.
+
+    Near-dups are HIGHLY similar (cosine ≥ 0.9 → per-plane p ≈ 0.86), so
+    bands of 4 bits give recall 1-(1-0.86⁴)⁴ ≈ 0.95 while unrelated
+    pairs (p ≈ 0.5) collide in a band with only p⁴ ≈ 6%."""
+    b = lsh_rand_buckets(vectors, n_planes, n_bands, dim, seed, id_col, vec_col)
+    l = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    r = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
-    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
-        pairs.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),

@@ -792,22 +792,49 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
-def _bucket_bits_sql(col: str, n_planes: int = 8) -> str:
-    return " + ".join(
-        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
-        for i in range(n_planes)
+def _rand_planes_cte(n_planes: int = 16, n_bands: int = 2, dim: int = 64, seed: int = 7) -> str:
+    """planes → per-plane decimal dots → banded sign buckets, matching
+    lsh_rand_buckets(n_planes, n_bands, dim, seed) exactly (same seeded
+    integer coefficient matrix, inlined as a VALUES literal)."""
+    from qwatch_spark.operators.similarity import plane_coeffs
+
+    coeffs = plane_coeffs(n_planes, dim, seed)
+    bpb = n_planes // n_bands
+    vals = ", ".join(
+        f"({p}, {j + 1}, {coeffs[p][j]})"
+        for p in range(n_planes)
+        for j in range(dim)
     )
+    wvals = ", ".join(
+        f"({p}, {p // bpb}, {1 << (bpb - 1 - p % bpb)})" for p in range(n_planes)
+    )
+    return f"""
+, planes(p, i, c) AS (VALUES {vals}),
+pw(p, band, w) AS (VALUES {wvals}),
+pdots AS (
+  SELECT e.vec_id, pl.p,
+         CAST(SUM(CAST(e.xd * pl.c AS DECIMAL(30,15))) AS DOUBLE) AS d
+  FROM e JOIN planes pl ON pl.i = e.i
+  GROUP BY e.vec_id, pl.p
+),
+b AS (
+  SELECT pd.vec_id, pw.band,
+         CAST(SUM(CASE WHEN pd.d >= 0 THEN pw.w ELSE 0 END) AS INT) AS bucket
+  FROM pdots pd JOIN pw ON pw.p = pd.p
+  GROUP BY pd.vec_id, pw.band
+)"""
 
 
 def q32_ann_lsh_topk(spark, sf_dir):
-    return ann_topk_lsh(ld(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=8)
+    return ann_topk_lsh(
+        ld(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=16, n_bands=8
+    )
 
 
-SQL_ANN_LSH_TOPK = _EMB_CTE + f"""
-, b AS (SELECT vec_id, CAST({_bucket_bits_sql('embedding')} AS INT) AS bucket
-        FROM embeddings),
-qb AS (SELECT bucket FROM b WHERE vec_id = 0),
-cand AS (SELECT b.vec_id FROM b JOIN qb ON b.bucket = qb.bucket
+SQL_ANN_LSH_TOPK = _EMB_CTE + _rand_planes_cte(16, 8) + """
+, qb AS (SELECT band, bucket FROM b WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id
+         FROM b JOIN qb ON b.band = qb.band AND b.bucket = qb.bucket
          WHERE b.vec_id <> 0),
 q AS (SELECT i, xd AS qx FROM e WHERE vec_id = 0),
 dots AS (
@@ -828,16 +855,15 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 def q33_embedding_near_dups(spark, sf_dir):
     return cosine_near_dup_pairs(
-        ld(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=8
+        ld(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=16, n_bands=4
     )
 
 
-SQL_NEAR_DUPS = _EMB_CTE + f"""
-, b AS (SELECT vec_id, CAST({_bucket_bits_sql('embedding')} AS INT) AS bucket
-        FROM embeddings),
-pairs AS (
-  SELECT l.vec_id AS id_a, r.vec_id AS id_b
-  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+SQL_NEAR_DUPS = _EMB_CTE + _rand_planes_cte(16, 4) + """
+, pairs AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 ),
 dots AS (
   SELECT p.id_a, p.id_b,

@@ -16,7 +16,7 @@ from qwatch_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     cosine_topk_fast,
-    lsh_sign_buckets,
+    lsh_rand_buckets,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -53,10 +53,26 @@ def test_ann_is_subset_of_bruteforce_ranking(emb):
 
 
 def test_lsh_buckets_partition_all_vectors(emb):
+    """Every vector appears once per band; buckets are non-trivial."""
     n = emb.count()
-    b = lsh_sign_buckets(emb)
-    assert b.count() == n
-    assert b.select("bucket").distinct().count() > 1
+    b = lsh_rand_buckets(emb, n_planes=16, n_bands=2)
+    assert b.count() == 2 * n
+    assert b.groupBy("band").count().select("count").distinct().count() == 1
+    assert b.select("band", "bucket").distinct().count() > 2
+
+
+def test_ann_recall_vs_bruteforce(emb):
+    """Multi-band OR-construction recall gate at the q32 config (16
+    planes × 8 bands): the fixture's neighbors are only weakly similar
+    (cosine ≈ 0.3 → per-plane p ≈ 0.6), so short bands are what makes
+    recall controllable — deterministic given seeded planes."""
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+    ann = {
+        r["vec_id"]
+        for r in ann_topk_lsh(emb, 0, k=10, n_planes=16, n_bands=8).collect()
+    }
+    recall = len(set(exact) & ann) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall} vs exact top-10"
 
 
 def test_lsh_candidates_have_high_jaccard_recall(docs):
