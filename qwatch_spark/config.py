@@ -19,6 +19,9 @@ KNOWN_FILTER_RULES = (
     "extract_text",
     "valid_url",
     "min_html_bytes",
+    "lang_fallback",
+    "quality_gate",
+    "exact_dup_gate",
 )
 
 
@@ -37,6 +40,9 @@ class PipelineConfig:
     keep_langs: tuple[str, ...] = ("en", "de", "fr", "es")
     # minimum html payload size for min_html_bytes rule
     min_html_bytes: int = 1
+    # minimum quality score (quality_gate rule) for a page version to be
+    # ingested; see operators/textstats.quality_exprs
+    min_quality: float = 0.2
     # number of hash buckets of the target table (scale knob: at 100 TB
     # with ~1 GB target bucket files this would be ~100_000; tests use 8)
     n_buckets: int = 64

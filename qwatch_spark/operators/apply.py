@@ -58,16 +58,20 @@ class ApplyStats:
 
 
 def merge_cdc(
-    current: DataFrame, updates: DataFrame, epoch_id: int, payload_cols: list[str]
+    current: DataFrame,
+    updates: DataFrame,
+    epoch_id: int,
+    payload_cols: list[str],
+    key: str = "url",
 ) -> DataFrame:
     """Full-outer key merge with latest-wins guard; returns new bucket
     contents (payload + bookkeeping). `updates` must be deduped to one
-    row per url and carry (op, warc_ts, seq)."""
+    row per key and carry (op, warc_ts, seq)."""
     c, u = current.alias("c"), updates.alias("u")
-    joined = c.join(u, F.col("c.url") == F.col("u.url"), "full_outer")
+    joined = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
 
-    take_u = F.col("u.url").isNotNull() & (
-        F.col("c.url").isNull()
+    take_u = F.col(f"u.{key}").isNotNull() & (
+        F.col(f"c.{key}").isNull()
         | (
             F.struct(F.col("u.warc_ts"), F.col("u.seq"))
             >= F.struct(F.col("c.warc_ts"), F.col("c.seq"))
@@ -77,13 +81,13 @@ def merge_cdc(
     # U if it replaced a live row, D for tombstoning (metrics semantics)
     applied_op = (
         F.when(F.col("u.op") == "D", F.lit("D"))
-        .when(F.col("c.url").isNull() | F.col("c.is_deleted"), F.lit("I"))
+        .when(F.col(f"c.{key}").isNull() | F.col("c.is_deleted"), F.lit("I"))
         .otherwise(F.lit("U"))
     )
 
-    cols = [F.coalesce(F.col("u.url"), F.col("c.url")).alias("url")]
+    cols = [F.coalesce(F.col(f"u.{key}"), F.col(f"c.{key}")).alias(key)]
     for p in payload_cols:
-        if p == "url":
+        if p == key:
             continue
         cols.append(
             F.when(take_u, F.col(f"u.{p}")).otherwise(F.col(f"c.{p}")).alias(p)
@@ -110,6 +114,10 @@ def apply_changes(
 ) -> ApplyStats:
     cfg = cfg or PipelineConfig()
     if table.has_epoch(epoch_id):
+        # duplicate delivery: no-op, but heal the crash window between the
+        # manifest swap and the commit_log append (the epoch is committed;
+        # make sure the durable record says so)
+        table.ensure_commit_log_row(spark, epoch_id)
         return ApplyStats(int(epoch_id), True, 0, 0, 0, 0, 0)
     t0 = time.time()
 
@@ -124,11 +132,15 @@ def apply_changes(
         *dict.fromkeys(payload_cols + envelope)
     )  # prune before shuffle: only what MERGE needs reaches the exchange
 
-    updates = latest_wins(batch, key="url", order=("warc_ts", "seq"), n_salt=cfg.n_salt)
+    key = table.key_col
+    updates = latest_wins(batch, key=key, order=("warc_ts", "seq"), n_salt=cfg.n_salt)
     # deferred projections (e.g. HTML→text): once per surviving key,
     # not once per raw event
     updates = apply_rules(updates, cfg, kind="project")
-    updates = updates.withColumn("_b", bucket_expr(table.n_buckets))
+    # content gates that need projected columns (quality/exact-dup over
+    # extracted text) — still once per surviving key
+    updates = apply_rules(updates, cfg, kind="post_gate")
+    updates = updates.withColumn("_b", bucket_expr(table.n_buckets, key))
 
     # Stage the deduped batch to the lake instead of caching: one pass over
     # the feed, then cheap column-pruned re-reads — no executor memory
@@ -173,7 +185,9 @@ def apply_changes(
             current = table.read_buckets(
                 spark, touched, payload_schema=evolved_payload
             )
-            merged = merge_cdc(current, updates.drop("_b"), epoch_id, payload_cols)
+            merged = merge_cdc(
+                current, updates.drop("_b"), epoch_id, payload_cols, key=key
+            )
             table.commit_epoch(merged, touched, epoch_id, evolved_payload)
         phases["merge_commit"] = time.time() - t
 
@@ -192,7 +206,7 @@ def apply_changes(
             )
         changed = written.filter(F.col("last_epoch") == int(epoch_id))
         metrics = (
-            changed.withColumn("bucket", bucket_expr(table.n_buckets))
+            changed.withColumn("bucket", bucket_expr(table.n_buckets, key))
             .groupBy("bucket")
             .agg(
                 F.count_if(F.col("last_op") == "I").alias("n_insert"),

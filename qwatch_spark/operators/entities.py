@@ -1,0 +1,202 @@
+"""Multi-entity CDC apply: discriminator routing + FK-linked dimensions.
+
+The reference maintains a GRAPH of ~10 entity kinds from one inventory
+stream: a type switch routes each message to a per-entity MERGE handler
+(/root/reference/outputs/neo4j.go:484-504), and handlers also maintain
+cross-entity links — container→image USE (outputs/neo4j.go:287-294),
+image→parent PARENT (414-436), task→service/container PARTOF/IS
+(567-588). Crucially, link endpoints are created-if-absent (`MERGE (n)`
+on the parent node) and matches only bump `last_seen` — a link can
+never overwrite a parent's real payload.
+
+Spark-first re-expression over SnapshotTables:
+
+- **routing** — one pass over the batch; each entity's rows are a
+  pushdown-able `filter(entity_type == name)` + column prune, then the
+  standard set-oriented `apply_changes` into that entity's own
+  SnapshotTable (its own key column, buckets, lineage, epochs).
+- **create-if-absent parents** — child rows referencing a parent key
+  contribute SKELETON rows to the parent batch at the minimum order
+  `(warc_ts=1970-01-01, seq=-1)`. The engine's latest-wins total order
+  then gives exactly the reference's MERGE semantics for free: absent
+  key → inserted (null payload, key only); existing live row → skeleton
+  loses the `(warc_ts, seq)` contest, payload untouched; tombstoned key
+  → skeleton loses to the tombstone, deletes are never resurrected.
+  This makes the final state replay-invariant (any epoching / arrival
+  order) and expressible in plain SQL for the oracle.
+- **link tables** — an explicit edge table per LinkSpec, keyed
+  `src_key -> dst_key`, upserted from non-delete child rows with the
+  child's (warc_ts, seq) as `last_seen` order (the reference's
+  `ON MATCH SET last_seen`; it never deletes edges — neither do we;
+  a tombstoned child shows up via the child table's tombstone).
+
+Scale: per-entity applies are independent single-shuffle MERGEs into
+disjoint tables; skeleton derivation is a distinct over the child batch
+(map-side combinable), never a lookup join against the parent table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.operators.apply import ApplyStats, apply_changes
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+# Skeleton rows sort below every real event: create-if-absent semantics
+# fall out of the (warc_ts, seq) total order with no special-case merge.
+SKELETON_TS = dt.datetime(1970, 1, 1)
+SKELETON_SEQ = -1
+
+
+@dataclass(frozen=True)
+class EntitySpec:
+    """One entity kind: its discriminator value, key, payload shape, and
+    the FK columns that point at parent entities (create-if-absent)."""
+
+    name: str
+    key_col: str
+    payload_schema: T.StructType
+    # (fk_column_on_this_entity, parent_entity_name)
+    fks: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class LinkSpec:
+    """Explicit edge table src_entity --fk_col--> parent (USE/PARTOF
+    analog). Key = '<src_key>-><fk value>'."""
+
+    name: str
+    src_entity: str
+    fk_col: str
+
+
+LINK_PAYLOAD = T.StructType(
+    [
+        T.StructField("link_id", T.StringType(), False),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("dst", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def create_entity_tables(
+    base_path: str,
+    specs: list[EntitySpec],
+    links: list[LinkSpec] | None = None,
+    n_buckets: int = 16,
+    overwrite: bool = False,
+) -> dict[str, SnapshotTable]:
+    """One SnapshotTable per entity (and per link table) under base_path."""
+    tables = {}
+    for s in specs:
+        tables[s.name] = SnapshotTable.create(
+            f"{base_path}/{s.name}",
+            payload_schema=s.payload_schema,
+            n_buckets=n_buckets,
+            key_col=s.key_col,
+            overwrite=overwrite,
+        )
+    for lk in links or []:
+        tables[lk.name] = SnapshotTable.create(
+            f"{base_path}/{lk.name}",
+            payload_schema=LINK_PAYLOAD,
+            n_buckets=n_buckets,
+            key_col="link_id",
+            overwrite=overwrite,
+        )
+    return tables
+
+
+def route_entity(
+    batch: DataFrame, spec: EntitySpec, type_col: str = "entity_type"
+) -> DataFrame:
+    """The type-switch arm: this entity's rows, pruned to its columns.
+    Both the equality filter and the prune reach the feed scan."""
+    cols = [f.name for f in spec.payload_schema.fields]
+    return batch.filter(F.col(type_col) == spec.name).select("op", "seq", *cols)
+
+
+def skeleton_parents(
+    child_rows: DataFrame, fk_col: str, parent_spec: EntitySpec
+) -> DataFrame:
+    """Create-if-absent parent rows for every FK a non-delete child row
+    references: key = fk value, all other payload NULL, minimum order."""
+    keys = (
+        child_rows.filter((F.col("op") != "D") & F.col(fk_col).isNotNull())
+        .select(F.col(fk_col).alias(parent_spec.key_col))
+        .distinct()
+    )
+    cols = [F.lit("U").alias("op"), F.lit(SKELETON_SEQ).cast("long").alias("seq")]
+    for f in parent_spec.payload_schema.fields:
+        if f.name == parent_spec.key_col:
+            cols.append(F.col(parent_spec.key_col))
+        elif f.name == "warc_ts":
+            cols.append(F.lit(SKELETON_TS).cast("timestamp").alias("warc_ts"))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return keys.select(*cols)
+
+
+def derive_links(child_rows: DataFrame, lk: LinkSpec, src_spec: EntitySpec) -> DataFrame:
+    """Edge upserts from non-delete child rows (ON MATCH SET last_seen:
+    the child's (warc_ts, seq) orders re-observations; never deleted)."""
+    src_key = src_spec.key_col
+    return (
+        child_rows.filter((F.col("op") != "D") & F.col(lk.fk_col).isNotNull())
+        .select(
+            F.lit("U").alias("op"),
+            F.col("seq"),
+            F.concat_ws("->", F.col(src_key), F.col(lk.fk_col)).alias("link_id"),
+            F.col(src_key).alias("src"),
+            F.col(lk.fk_col).alias("dst"),
+            F.col("warc_ts"),
+        )
+    )
+
+
+def apply_entity_changes(
+    spark: SparkSession,
+    batch: DataFrame,
+    specs: list[EntitySpec],
+    tables: dict[str, SnapshotTable],
+    epoch_id: int,
+    links: list[LinkSpec] | None = None,
+    cfg: PipelineConfig | None = None,
+    type_col: str = "entity_type",
+) -> dict[str, ApplyStats]:
+    """Route one discriminated batch to every entity (and link) table —
+    one idempotent epoch-tagged apply per table."""
+    cfg = cfg or PipelineConfig(rules=())
+    by_name = {s.name: s for s in specs}
+    routed = {s.name: route_entity(batch, s, type_col) for s in specs}
+
+    stats: dict[str, ApplyStats] = {}
+    for s in specs:
+        entity_batch = routed[s.name]
+        # fold in create-if-absent skeletons from every child that FKs us
+        for child in specs:
+            for fk_col, parent_name in child.fks:
+                if parent_name != s.name:
+                    continue
+                entity_batch = entity_batch.unionByName(
+                    skeleton_parents(routed[child.name], fk_col, by_name[parent_name])
+                )
+        stats[s.name] = apply_changes(
+            spark, entity_batch, tables[s.name], epoch_id, cfg
+        )
+    for lk in links or []:
+        stats[lk.name] = apply_changes(
+            spark,
+            derive_links(routed[lk.src_entity], lk, by_name[lk.src_entity]),
+            tables[lk.name],
+            epoch_id,
+            cfg,
+        )
+    return stats

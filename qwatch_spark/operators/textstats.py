@@ -20,9 +20,20 @@ LANG_MARKERS = {
 }
 
 
-def _marker_count(lang: str) -> F.Column:
+def _marker_count(lang: str, text_col: str = "text") -> F.Column:
     pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
-    return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+
+
+def lang_pred_expr(text_col: str = "text") -> F.Column:
+    """Argmax-of-marker-counts language prediction as one Column
+    (reused by the lang_id operator and the lang_fallback ingest rule)."""
+    counts = [_marker_count(lg, text_col) for lg in LANG_MARKERS]
+    best = F.greatest(*counts)
+    pred = F.when(best == 0, F.lit("und"))
+    for lg, cnt in zip(LANG_MARKERS, counts):  # first language at max wins
+        pred = pred.when(cnt == best, F.lit(lg))
+    return pred
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -55,14 +66,21 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality heuristic, scaled to
-    integer basis points then rounded — deterministic across engines."""
-    n_chars = F.length("text")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9\\s]"), 0))
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def quality_exprs(
+    stopwords: tuple[str, ...] = STOPWORDS, text_col: str = "text"
+) -> dict[str, F.Column]:
+    """The quality heuristic's component Columns (shared by the
+    quality_score operator and the quality_gate ingest rule)."""
+    n_chars = F.length(text_col)
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"), 0)
+    )
     stop_pat = "\\b(" + "|".join(stopwords) + ")\\b"
-    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit(stop_pat), 0))
+    n_stop = F.size(F.regexp_extract_all(F.col(text_col), F.lit(stop_pat), 0))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
     len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
@@ -70,12 +88,24 @@ def quality_score(docs: DataFrame, stopwords: tuple[str, ...] = ("the", "a", "of
         F.lit(0.5) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.2) * (1 - punct_ratio),
         6,
     )
+    return {
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
+def quality_score(docs: DataFrame, stopwords: tuple[str, ...] = STOPWORDS) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic, scaled to
+    integer basis points then rounded — deterministic across engines."""
+    ex = quality_exprs(stopwords)
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+        ex["n_tokens"].alias("n_tokens"),
+        ex["punct_ratio"].alias("punct_ratio"),
+        ex["stopword_ratio"].alias("stopword_ratio"),
+        ex["quality"].alias("quality"),
     )
 
 

@@ -4,8 +4,25 @@ When an Iceberg catalog is configured on the session (requires the
 iceberg-spark-runtime jars, NOT present in this sandbox), MERGE/commit
 semantics delegate to real `MERGE INTO` SQL; otherwise constructing the
 adapter raises with a clear message and the pure-Spark SnapshotTable
-backend (snapshot_table.py) is the default. Both implement the same
-surface used by apply: payload_schema / has_epoch / read / merge.
+backend (snapshot_table.py) is the default.
+
+Semantics mirror SnapshotTable exactly:
+
+- deletes are TOMBSTONES (`is_deleted = true`), never physical DELETEs —
+  a physical delete would let a later-arriving OLDER update re-insert
+  the key via WHEN NOT MATCHED, resurrecting the delete;
+- a 'D' for an absent key inserts a tombstone row (the delete must be
+  remembered even if the insert never arrived);
+- the latest-wins guard `(s.warc_ts, s.seq) >= (t.warc_ts, t.seq)` makes
+  the MERGE idempotent and order-insensitive.
+
+Commit protocol (honest caveat): Iceberg cannot atomically commit two
+tables from one Spark action, so the MERGE and the applied-epochs INSERT
+are two commits. Order is merge-then-record: a crash between them
+replays the epoch, and the replayed MERGE is a no-op by the latest-wins
+guard — convergent (effectively-once), not single-commit atomic like
+SnapshotTable's manifest swap. A single-commit variant needs Iceberg's
+WAP/branch API.
 """
 
 from __future__ import annotations
@@ -44,9 +61,15 @@ class IcebergTable:
         return n > 0
 
     def merge_epoch(self, updates: DataFrame, epoch_id: int) -> None:
-        """Latest-wins MERGE with tombstone semantics, one atomic commit."""
+        """Latest-wins MERGE with tombstone semantics (see module doc for
+        the two-commit caveat). `updates` carries payload + (op, warc_ts,
+        seq), deduped to one row per url."""
         if self.has_epoch(epoch_id):
             return
+        payload = [c for c in updates.columns if c != "op"]
+        set_cols = ", ".join(f"t.{c} = s.{c}" for c in payload)
+        ins_cols = ", ".join([*payload, "is_deleted"])
+        ins_vals = ", ".join([*(f"s.{c}" for c in payload), "(s.op = 'D')"])
         updates.createOrReplaceTempView("_qwatch_updates")
         self.spark.sql(
             f"""
@@ -54,10 +77,8 @@ class IcebergTable:
             USING _qwatch_updates s
             ON t.url = s.url
             WHEN MATCHED AND (s.warc_ts, s.seq) >= (t.warc_ts, t.seq)
-                 AND s.op = 'D' THEN DELETE
-            WHEN MATCHED AND (s.warc_ts, s.seq) >= (t.warc_ts, t.seq)
-                 THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+                 THEN UPDATE SET {set_cols}, t.is_deleted = (s.op = 'D')
+            WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )
         self.spark.sql(

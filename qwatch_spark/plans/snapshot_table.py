@@ -83,8 +83,11 @@ class SnapshotTable:
         payload_schema: T.StructType | None = None,
         n_buckets: int = 64,
         overwrite: bool = False,
+        key_col: str = "url",
     ) -> "SnapshotTable":
         payload_schema = payload_schema or PAGE_SCHEMA
+        if key_col not in {f.name for f in payload_schema.fields}:
+            raise ValueError(f"key_col {key_col!r} not in payload schema")
         if os.path.exists(os.path.join(path, MANIFEST)):
             if not overwrite:
                 return cls(path)
@@ -93,6 +96,7 @@ class SnapshotTable:
         manifest = {
             "version": 0,
             "n_buckets": n_buckets,
+            "key_col": key_col,
             "schema": payload_schema.json(),
             "applied_epochs": [],
             "buckets": {},
@@ -105,11 +109,32 @@ class SnapshotTable:
             return json.load(fh)
 
     @staticmethod
-    def _write_manifest(path: str, manifest: dict) -> None:
+    def _write_manifest(
+        path: str, manifest: dict, expected_mutation: int | None = None
+    ) -> None:
+        """Swap the manifest atomically. With `expected_mutation`, abort
+        if another writer committed since this writer loaded its base —
+        check-then-replace, so a small TOCTOU window remains: the design
+        assumes a single writer per table (the streaming runner), and
+        this guard turns the realistic stale-writer mistake (two jobs
+        pointed at one table) into a loud error instead of silent
+        committed-data loss. A true CAS needs the object-store
+        conditional-put adapter."""
+        target = os.path.join(path, MANIFEST)
+        if expected_mutation is not None and os.path.exists(target):
+            with open(target) as fh:
+                cur = json.load(fh)
+            if cur.get("mutation", 0) != expected_mutation:
+                raise RuntimeError(
+                    f"concurrent writer detected on {path}: manifest mutation "
+                    f"{cur.get('mutation', 0)} != expected {expected_mutation}; "
+                    "aborting commit (no state was overwritten)"
+                )
+            manifest["mutation"] = expected_mutation + 1
         tmp = os.path.join(path, MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit point
+        os.replace(tmp, target)  # atomic commit point
         # manifest history → time travel (readable until vacuum drops the
         # data files an old manifest points to)
         hist = os.path.join(path, "manifests")
@@ -124,6 +149,12 @@ class SnapshotTable:
         return self._manifest["n_buckets"]
 
     @property
+    def key_col(self) -> str:
+        """Upsert key column (entity tables key on their own id column;
+        'url' for legacy/page manifests that predate the field)."""
+        return self._manifest.get("key_col", "url")
+
+    @property
     def payload_schema(self) -> T.StructType:
         return schema_from_json(self._manifest["schema"])
 
@@ -132,7 +163,27 @@ class SnapshotTable:
         return self._manifest["version"]
 
     def has_epoch(self, epoch_id: int) -> bool:
-        return int(epoch_id) in set(self._manifest["applied_epochs"])
+        e = int(epoch_id)
+        return (0 <= e <= self._manifest.get("epoch_watermark", -1)) or (
+            e in set(self._manifest["applied_epochs"])
+        )
+
+    @staticmethod
+    def _record_epoch(manifest: dict, epoch_id: int) -> None:
+        """Record an applied epoch with BOUNDED manifest growth: a
+        high-watermark (every epoch in [0, watermark] is applied) plus a
+        sparse set of out-of-order epochs above it. Contiguous epoch ids
+        (the streaming runner's) fold into the watermark immediately, so
+        the manifest stays O(1) at minute-epochs-for-a-year scale instead
+        of rewriting a 500k-int list every commit."""
+        s = set(int(x) for x in manifest.get("applied_epochs", []))
+        s.add(int(epoch_id))
+        wm = manifest.get("epoch_watermark", -1)
+        while wm + 1 in s:
+            wm += 1
+            s.remove(wm)
+        manifest["epoch_watermark"] = wm
+        manifest["applied_epochs"] = sorted(s)
 
     # ---------- reads ----------
 
@@ -192,7 +243,7 @@ class SnapshotTable:
                 from qwatch_spark.operators.dedup import latest_wins
 
                 df = latest_wins(
-                    df, key="url", order=("warc_ts", "seq", "last_epoch")
+                    df, key=self.key_col, order=("warc_ts", "seq", "last_epoch")
                 )
         if not include_deleted:
             df = df.filter(~F.col("is_deleted"))
@@ -226,11 +277,17 @@ class SnapshotTable:
         epochs; cost is one column-pruned scan of the current state."""
         hist = os.path.join(self.path, "manifests", f"v={int(since_version)}.json")
         with open(hist) as fh:
-            old_epochs = [int(e) for e in json.load(fh)["applied_epochs"]]
+            old = json.load(fh)
+        old_wm = int(old.get("epoch_watermark", -1))
+        old_sparse = [int(e) for e in old.get("applied_epochs", [])]
         cur = self.read_buckets(spark, include_deleted=True)
-        if old_epochs:
-            cur = cur.filter(~F.col("last_epoch").isin(old_epochs))
-        return cur
+        # applied-after test against the historical watermark + its small
+        # out-of-order set — bounded predicates, not an isin() over every
+        # epoch the table ever applied
+        cond = F.col("last_epoch") > F.lit(old_wm)
+        if old_sparse:
+            cond = cond & ~F.col("last_epoch").isin(old_sparse)
+        return cur.filter(cond)
 
     def versions(self) -> list[int]:
         hist = os.path.join(self.path, "manifests")
@@ -257,7 +314,7 @@ class SnapshotTable:
         out = os.path.join(self.path, "data", f"v={new_version}")
         cols = [f.name for f in full_schema(evolved_payload).fields]
         (
-            merged.withColumn("b", bucket_expr(self.n_buckets))
+            merged.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
             .select("b", *cols)
             # co-locate each bucket in one task → exactly one file per
             # bucket per version (bucket size is governed by n_buckets,
@@ -270,15 +327,16 @@ class SnapshotTable:
         manifest = dict(self._manifest)
         manifest["version"] = new_version
         manifest["schema"] = evolved_payload.json()
-        manifest["applied_epochs"] = sorted(
-            set(manifest["applied_epochs"]) | {int(epoch_id)}
-        )
+        self._record_epoch(manifest, epoch_id)
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             # copy-on-write: the new base subsumes any prior deltas
             buckets[str(int(b))] = {"base": new_version, "deltas": []}
         manifest["buckets"] = buckets
-        self._write_manifest(self.path, manifest)
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
+        )
         self._manifest = manifest
         return new_version
 
@@ -304,7 +362,7 @@ class SnapshotTable:
         out = os.path.join(self.path, "data", f"v={new_version}")
         cols = [f.name for f in full_schema(evolved_payload).fields]
         (
-            updates.withColumn("b", bucket_expr(self.n_buckets))
+            updates.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
             .select("b", *cols)
             .repartition(max(len(touched_buckets), 1), "b")
             .write.mode("overwrite")
@@ -314,9 +372,7 @@ class SnapshotTable:
         manifest = dict(self._manifest)
         manifest["version"] = new_version
         manifest["schema"] = evolved_payload.json()
-        manifest["applied_epochs"] = sorted(
-            set(manifest["applied_epochs"]) | {int(epoch_id)}
-        )
+        self._record_epoch(manifest, epoch_id)
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             e = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
@@ -325,7 +381,10 @@ class SnapshotTable:
                 "deltas": [*e["deltas"], new_version],
             }
         manifest["buckets"] = buckets
-        self._write_manifest(self.path, manifest)
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
+        )
         self._manifest = manifest
         return new_version
 
@@ -343,7 +402,7 @@ class SnapshotTable:
         out = os.path.join(self.path, "data", f"v={new_version}")
         cols = [f.name for f in full_schema(self.payload_schema).fields]
         (
-            resolved.withColumn("b", bucket_expr(self.n_buckets))
+            resolved.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
             .select("b", *cols)
             .repartition(max(len(victims), 1), "b")
             .write.mode("overwrite")
@@ -356,7 +415,10 @@ class SnapshotTable:
         for b in victims:
             buckets[str(b)] = {"base": new_version, "deltas": []}
         manifest["buckets"] = buckets
-        self._write_manifest(self.path, manifest)
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
+        )
         self._manifest = manifest
         return victims
 
@@ -366,10 +428,11 @@ class SnapshotTable:
         if self.has_epoch(epoch_id):
             return
         manifest = dict(self._manifest)
-        manifest["applied_epochs"] = sorted(
-            set(manifest["applied_epochs"]) | {int(epoch_id)}
+        self._record_epoch(manifest, epoch_id)
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
         )
-        self._write_manifest(self.path, manifest)
         self._manifest = manifest
 
     # ---------- lineage / metrics ----------
@@ -383,6 +446,43 @@ class SnapshotTable:
         spark.createDataFrame([row], COMMIT_LOG_SCHEMA).write.mode("append").parquet(
             os.path.join(self.path, "commit_log")
         )
+
+    def ensure_commit_log_row(self, spark: SparkSession, epoch_id: int) -> bool:
+        """Backfill a missing commit_log row for an applied epoch.
+
+        Covers the crash window between the manifest swap (the commit
+        point) and the commit_log append: on the duplicate-delivery skip
+        path the epoch would otherwise be permanently absent from the
+        durable record. The backfill row is marked 'backfill' with null
+        counters — per-bucket lineage for the epoch remains recoverable
+        from the data files' last_epoch column. Returns True if a row was
+        written (dedupable by epoch_id regardless)."""
+        import datetime as dt
+
+        p = os.path.join(self.path, "commit_log")
+        if os.path.exists(p):
+            present = (
+                spark.read.parquet(p)
+                .filter(F.col("epoch_id") == int(epoch_id))
+                .limit(1)
+                .count()
+            )
+            if present:
+                return False
+        self.append_commit_log(
+            spark,
+            {
+                "epoch_id": int(epoch_id),
+                "batch_fingerprint": "backfill",
+                "n_events": None,
+                "n_upserts": None,
+                "n_deletes": None,
+                "wall_ms": None,
+                "events_per_sec": None,
+                "committed_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            },
+        )
+        return True
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
         from qwatch_spark.schema import METRICS_SCHEMA

@@ -1203,6 +1203,160 @@ def q50_cdc_apply_e2e(spark, sf_dir):
     return table.read(spark).select("url", "warc_ts", "text", "lang")
 
 
+def entity_feed_from_events(ev):
+    """Deterministic page/domain entity feed derived from the events
+    fixture (pure Column transforms — the SQL oracle derives the same
+    feed): every 11th event is a domain event, the rest are page events
+    carrying a domain FK."""
+    uid, eid = F.col("user_id"), F.col("event_id")
+    dom = F.concat(F.lit("d"), (uid % 20).cast("string"), F.lit(".ex"))
+    is_dom = (eid % 11) == 0
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "purchase"), "U")
+        .otherwise("I")
+    )
+    return ev.select(
+        F.when(is_dom, F.lit("domain")).otherwise(F.lit("page")).alias("entity_type"),
+        op.alias("op"),
+        eid.cast("long").alias("seq"),
+        F.col("ts").alias("warc_ts"),
+        F.concat(F.lit("https://"), dom, F.lit("/p"), (eid % 150).cast("string")).alias(
+            "url"
+        ),
+        dom.alias("dom"),
+        F.concat(F.lit("r"), (uid % 5).cast("string")).alias("registrar"),
+        (eid % 4).cast("int").alias("epoch_hint"),
+    )
+
+
+def entity_graph_specs():
+    """page --dom--> domain graph + explicit page_domain link table
+    (reference: the 8-type inventory switch at outputs/neo4j.go:484-504
+    with container→image USE links at 287-294)."""
+    from pyspark.sql import types as T
+
+    from qwatch_spark.operators.entities import EntitySpec, LinkSpec
+
+    page = EntitySpec(
+        name="page",
+        key_col="url",
+        payload_schema=T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("dom", T.StringType(), True),
+                T.StructField("warc_ts", T.TimestampType(), True),
+            ]
+        ),
+        fks=(("dom", "domain"),),
+    )
+    domain = EntitySpec(
+        name="domain",
+        key_col="dom",
+        payload_schema=T.StructType(
+            [
+                T.StructField("dom", T.StringType(), False),
+                T.StructField("registrar", T.StringType(), True),
+                T.StructField("warc_ts", T.TimestampType(), True),
+            ]
+        ),
+    )
+    return [page, domain], [LinkSpec("page_domain", "page", "dom")]
+
+
+def q51_multi_entity_apply(spark, sf_dir):
+    """Multi-entity CDC apply: one discriminated feed routed to page +
+    domain SnapshotTables with create-if-absent FK parents and an
+    explicit link table, replayed over 4 epochs; result joins the two
+    final states. Oracle-checked: the final state is replay-invariant,
+    so plain SQL over the same derived feed reproduces it exactly."""
+    import tempfile
+
+    from qwatch_spark.operators.entities import (
+        apply_entity_changes,
+        create_entity_tables,
+    )
+
+    specs, links = entity_graph_specs()
+    tmp = tempfile.mkdtemp(prefix="qwatch_entities_")
+    tables = create_entity_tables(tmp, specs, links, n_buckets=8)
+    feed = entity_feed_from_events(ld(spark, sf_dir, "events"))
+    for e in range(4):
+        batch = feed.filter(F.col("epoch_hint") == e).drop("epoch_hint")
+        apply_entity_changes(spark, batch, specs, tables, e, links=links)
+
+    pages = tables["page"].read(spark).alias("p")
+    doms = tables["domain"].read(spark).alias("d")
+    link_counts = (
+        tables["page_domain"]
+        .read(spark)
+        .groupBy(F.col("dst").alias("dom"))
+        .agg(F.countDistinct("src").alias("n_linked"))
+        .alias("l")
+    )
+    return (
+        doms.join(pages, F.col("p.dom") == F.col("d.dom"), "left")
+        .groupBy(F.col("d.dom").alias("domain"), F.col("d.registrar").alias("registrar"))
+        .agg(F.count(F.col("p.url")).alias("n_live_pages"))
+        .join(link_counts, F.col("domain") == F.col("l.dom"), "left")
+        .select(
+            "domain",
+            "registrar",
+            "n_live_pages",
+            F.coalesce(F.col("n_linked"), F.lit(0)).alias("n_linked_pages"),
+        )
+    )
+
+
+SQL_MULTI_ENTITY = """
+WITH feed AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN 'domain' ELSE 'page' END AS entity_type,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click', 'purchase') THEN 'U'
+              ELSE 'I' END AS op,
+         event_id AS seq, ts AS warc_ts,
+         'd' || (user_id % 20) || '.ex' AS dom,
+         'https://d' || (user_id % 20) || '.ex/p' || (event_id % 150) AS url,
+         'r' || (user_id % 5) AS registrar
+  FROM events
+),
+page_ev AS (SELECT * FROM feed WHERE entity_type = 'page'),
+dom_ev  AS (SELECT * FROM feed WHERE entity_type = 'domain'),
+page_latest AS (
+  SELECT url, dom, op,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM page_ev
+),
+page_final AS (SELECT url, dom FROM page_latest WHERE rn = 1 AND op <> 'D'),
+dom_latest AS (
+  SELECT dom, registrar, op,
+         row_number() OVER (PARTITION BY dom ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM dom_ev
+),
+dom_own AS (SELECT dom, registrar FROM dom_latest WHERE rn = 1 AND op <> 'D'),
+dom_skel AS (
+  SELECT DISTINCT p.dom FROM page_ev p
+  WHERE p.op <> 'D' AND p.dom NOT IN (SELECT dom FROM dom_latest)
+),
+dom_final AS (
+  SELECT dom, registrar FROM dom_own
+  UNION ALL
+  SELECT dom, NULL AS registrar FROM dom_skel
+),
+links AS (
+  SELECT dom, CAST(count(DISTINCT url) AS BIGINT) AS n_linked_pages
+  FROM page_ev WHERE op <> 'D' GROUP BY dom
+)
+SELECT d.dom AS domain, d.registrar AS registrar,
+       CAST(count(p.url) AS BIGINT) AS n_live_pages,
+       COALESCE(l.n_linked_pages, 0) AS n_linked_pages
+FROM dom_final d
+LEFT JOIN page_final p ON p.dom = d.dom
+LEFT JOIN links l ON l.dom = d.dom
+GROUP BY d.dom, d.registrar, l.n_linked_pages
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1258,6 +1412,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q48_intersect_keys": (q48_intersect_keys, SQL_INTERSECT_KEYS),
     "q49_rollup": (q49_rollup, SQL_ROLLUP),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
+    "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
 }
 
 

@@ -44,6 +44,15 @@ def read_feed_stream(
 
 def split_dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, dead_letter): rows with a null key or unknown opcode go to
-    the dead-letter side instead of silently vanishing."""
-    bad = F.col("url").isNull() | ~F.col("op").isin(*VALID_OPS)
+    the dead-letter side instead of silently vanishing.
+
+    op IS NULL is listed explicitly: `~op.isin(...)` evaluates to NULL
+    for a null op, which would fail BOTH filters and drop the row — the
+    exact silent loss dead-lettering exists to prevent (parquet reads do
+    not enforce schema nullability)."""
+    bad = (
+        F.col("url").isNull()
+        | F.col("op").isNull()
+        | ~F.col("op").isin(*VALID_OPS)
+    )
     return df.filter(~bad), df.filter(bad)

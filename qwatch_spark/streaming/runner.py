@@ -25,9 +25,13 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from qwatch_spark.config import PipelineConfig
 from qwatch_spark.operators.apply import ApplyStats, apply_changes
 from qwatch_spark.plans.snapshot_table import SnapshotTable
+from qwatch_spark.schema import EVENT_SCHEMA
+from qwatch_spark.sinks import ParquetSink, Sink
 from qwatch_spark.sources.feed import read_feed_stream, split_dead_letter
 
 
@@ -40,20 +44,39 @@ def run_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     timeout_sec: float | None = None,
+    dead_letter_sink: Sink | None = None,
 ) -> list[ApplyStats]:
     """Tail the feed dir and apply each micro-batch. Returns per-epoch
-    stats (driver-side list; the durable record is the commit_log)."""
+    stats (driver-side list; the durable record is the commit_log).
+
+    Dead rows flow through the append-sink protocol (qwatch_spark.sinks,
+    the ES-output analog): default ParquetSink under the table dir; pass
+    any Sink implementation to route them elsewhere."""
     cfg = cfg or PipelineConfig()
     stats: list[ApplyStats] = []
+    sink = dead_letter_sink or ParquetSink(os.path.join(table_path, "dead_letter"))
+    sink.ddl(
+        spark,
+        T.StructType(
+            list(EVENT_SCHEMA.fields)
+            + [T.StructField("_dead_epoch", T.LongType(), True)]
+        ),
+    )
 
     def _apply(batch_df, epoch_id: int) -> None:
         table = SnapshotTable(table_path)  # reload manifest each epoch
+        if table.has_epoch(epoch_id):
+            # duplicate delivery (checkpoint replay): skip the dead-letter
+            # side output too, so the sink stays exactly-once end-to-end
+            stats.append(apply_changes(spark, batch_df, table, epoch_id, cfg))
+            return
         valid, dead = split_dead_letter(batch_df)
         # dead-letter side output (the reference turns decode errors into
-        # events, inputs/docker-events.go:49-55; we keep them queryable)
-        dead.withColumn("_dead_epoch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(os.path.join(table_path, "dead_letter"))
+        # events, inputs/docker-events.go:49-55; we keep them queryable).
+        # Sink appends are epoch-keyed + overwrite: a crash between this
+        # write and the epoch commit re-runs the batch, which overwrites
+        # the same output instead of appending duplicates.
+        sink.append(dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id)
         stats.append(apply_changes(spark, valid, table, epoch_id, cfg))
 
     stream = read_feed_stream(

@@ -1,0 +1,135 @@
+"""Multi-entity apply semantics: discriminator routing, create-if-absent
+FK parents (skeletons), tombstone no-resurrection, link maintenance,
+idempotent re-delivery — the reference's entity-graph behaviors
+(outputs/neo4j.go:484-504, 287-294) on planted scenarios."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qwatch_spark.operators.entities import (
+    EntitySpec,
+    LinkSpec,
+    apply_entity_changes,
+    create_entity_tables,
+)
+
+TS = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+
+PAGE = EntitySpec(
+    "page",
+    "url",
+    T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("dom", T.StringType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+        ]
+    ),
+    fks=(("dom", "domain"),),
+)
+DOMAIN = EntitySpec(
+    "domain",
+    "dom",
+    T.StructType(
+        [
+            T.StructField("dom", T.StringType(), False),
+            T.StructField("registrar", T.StringType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+        ]
+    ),
+)
+LINKS = [LinkSpec("page_domain", "page", "dom")]
+
+FEED_SCHEMA = (
+    "entity_type string, op string, seq long, warc_ts timestamp, "
+    "url string, dom string, registrar string"
+)
+
+
+def feed(spark, rows):
+    return spark.createDataFrame(rows, FEED_SCHEMA)
+
+
+@pytest.fixture()
+def tables(tmp_path):
+    return create_entity_tables(str(tmp_path), [PAGE, DOMAIN], LINKS, n_buckets=4)
+
+
+def apply(spark, tables, rows, epoch):
+    return apply_entity_changes(
+        spark, feed(spark, rows), [PAGE, DOMAIN], tables, epoch, links=LINKS
+    )
+
+
+def test_routing_and_skeleton_parents(spark, tables):
+    rows = [
+        ("page", "I", 1, TS(1), "u1", "d1", None),
+        ("page", "I", 2, TS(1), "u2", "d2", None),
+        ("domain", "I", 3, TS(2), None, "d1", "reg-A"),
+    ]
+    apply(spark, tables, rows, 0)
+    doms = {r["dom"]: r["registrar"] for r in tables["domain"].read(spark).collect()}
+    # d1 has an own event → real payload; d2 only referenced → skeleton
+    assert doms == {"d1": "reg-A", "d2": None}
+    pages = {r["url"]: r["dom"] for r in tables["page"].read(spark).collect()}
+    assert pages == {"u1": "d1", "u2": "d2"}
+
+
+def test_skeleton_never_overwrites_real_parent(spark, tables):
+    apply(spark, tables, [("domain", "I", 1, TS(1), None, "d1", "reg-A")], 0)
+    # later epoch: page references d1 — the skeleton must NOT clobber reg-A
+    apply(spark, tables, [("page", "I", 2, TS(5), "u1", "d1", None)], 1)
+    row = tables["domain"].read(spark).collect()[0]
+    assert (row["dom"], row["registrar"]) == ("d1", "reg-A")
+    assert row["warc_ts"] == TS(1)  # payload version untouched by skeleton
+
+
+def test_real_parent_event_beats_earlier_skeleton(spark, tables):
+    apply(spark, tables, [("page", "I", 1, TS(1), "u1", "d1", None)], 0)
+    assert tables["domain"].read(spark).collect()[0]["registrar"] is None
+    apply(spark, tables, [("domain", "U", 2, TS(2), None, "d1", "reg-B")], 1)
+    assert tables["domain"].read(spark).collect()[0]["registrar"] == "reg-B"
+
+
+def test_skeleton_does_not_resurrect_deleted_parent(spark, tables):
+    apply(spark, tables, [("domain", "I", 1, TS(1), None, "d1", "reg-A")], 0)
+    apply(spark, tables, [("domain", "D", 2, TS(3), None, "d1", None)], 1)
+    assert tables["domain"].read(spark).count() == 0
+    # later page reference creates a skeleton attempt at (1970, -1) — loses
+    apply(spark, tables, [("page", "I", 3, TS(5), "u1", "d1", None)], 2)
+    assert tables["domain"].read(spark).count() == 0
+    assert tables["domain"].read_buckets(spark).collect()[0]["is_deleted"]
+
+
+def test_link_table_maintained_and_never_deleted(spark, tables):
+    apply(spark, tables, [("page", "I", 1, TS(1), "u1", "d1", None)], 0)
+    links = tables["page_domain"].read(spark).collect()
+    assert [(r["src"], r["dst"]) for r in links] == [("u1", "d1")]
+    assert links[0]["warc_ts"] == TS(1)
+    # re-observation bumps last_seen order; delete does not remove the edge
+    apply(spark, tables, [("page", "U", 2, TS(4), "u1", "d1", None)], 1)
+    apply(spark, tables, [("page", "D", 3, TS(6), "u1", None, None)], 2)
+    links = tables["page_domain"].read(spark).collect()
+    assert len(links) == 1 and links[0]["warc_ts"] == TS(4)
+    assert tables["page"].read(spark).count() == 0  # page itself tombstoned
+
+
+def test_duplicate_epoch_is_noop_per_entity(spark, tables):
+    rows = [
+        ("page", "I", 1, TS(1), "u1", "d1", None),
+        ("domain", "I", 2, TS(1), None, "d2", "reg-X"),
+    ]
+    s1 = apply(spark, tables, rows, 0)
+    assert not any(st.skipped for st in s1.values())
+    s2 = apply(spark, tables, rows, 0)
+    assert all(st.skipped for st in s2.values())
+    assert tables["domain"].read(spark).count() == 2  # d2 real + d1 skeleton
+
+
+def test_entity_tables_key_on_their_own_columns(spark, tables):
+    assert tables["page"].key_col == "url"
+    assert tables["domain"].key_col == "dom"
+    assert tables["page_domain"].key_col == "link_id"

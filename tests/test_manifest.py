@@ -1,0 +1,120 @@
+"""Manifest bookkeeping gates: bounded applied-epochs growth (watermark +
+sparse set), stale concurrent-writer detection, commit-log backfill on the
+duplicate-delivery path, and dead-letter exactly-once under re-delivery."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def manifest_bytes(table) -> int:
+    return os.path.getsize(os.path.join(table.path, "manifest.json"))
+
+
+def test_manifest_stays_flat_over_many_epochs(tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    t.commit_empty_epoch(0)
+    size_early = manifest_bytes(t)
+    for e in range(1, 2000):
+        t.commit_empty_epoch(e)
+    assert t.has_epoch(0) and t.has_epoch(1999) and not t.has_epoch(2000)
+    m = json.load(open(os.path.join(t.path, "manifest.json")))
+    assert m["epoch_watermark"] == 1999
+    assert m["applied_epochs"] == []  # all folded into the watermark
+    assert manifest_bytes(t) <= size_early + 32  # O(1), not O(epochs)
+
+
+def test_out_of_order_epochs_fold_into_watermark(tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    for e in (0, 2, 3, 7):
+        t.commit_empty_epoch(e)
+    m = t._manifest
+    assert m["epoch_watermark"] == 0 and m["applied_epochs"] == [2, 3, 7]
+    assert t.has_epoch(3) and not t.has_epoch(1) and not t.has_epoch(4)
+    t.commit_empty_epoch(1)  # plugs the gap → 0..3 fold
+    m = t._manifest
+    assert m["epoch_watermark"] == 3 and m["applied_epochs"] == [7]
+
+
+def test_stale_concurrent_writer_is_rejected(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable.create(path, SCHEMA, n_buckets=4)
+    t2 = SnapshotTable(path)  # second writer, same base
+    t1.commit_empty_epoch(0)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t2.commit_empty_epoch(1)
+    # t1 (holding the current mutation) continues fine
+    t1.commit_empty_epoch(1)
+    assert t1.has_epoch(1)
+
+
+def test_commit_log_backfilled_on_duplicate_delivery(spark, tmp_path):
+    import shutil
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    feed = gen_feed_df(spark, 200)
+    apply_changes(spark, feed, t, 0, PipelineConfig(n_buckets=4))
+    # simulate the crash window: epoch committed, commit_log row lost
+    shutil.rmtree(os.path.join(t.path, "commit_log"))
+    st = apply_changes(spark, feed, t, 0, PipelineConfig(n_buckets=4))
+    assert st.skipped
+    log = t.read_commit_log(spark).collect()
+    assert [r["epoch_id"] for r in log] == [0]
+    assert log[0]["batch_fingerprint"] == "backfill"
+    # and a second duplicate does not double-backfill
+    apply_changes(spark, feed, t, 0, PipelineConfig(n_buckets=4))
+    assert t.read_commit_log(spark).count() == 1
+
+
+def test_dead_letter_exactly_once_on_redelivery(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.streaming import run_stream
+
+    feed_dir = str(tmp_path / "feed")
+    write_feed_files(spark, feed_dir, 400, files=2)
+    # plant bad rows: null op (the silent-vanish case) and unknown op
+    bad = spark.createDataFrame(
+        [(9001, None, "https://x.ex/a"), (9002, "Z", "https://x.ex/b")],
+        "seq long, op string, url string",
+    ).select(
+        "seq",
+        "op",
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("en").alias("lang"),
+        F.lit("test").alias("source"),
+        F.lit(0).cast("int").alias("epoch_hint"),
+    )
+    bad.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    cfg = PipelineConfig(n_buckets=4, rules=("valid_url",))
+    run_stream(spark, feed_dir, t.path, str(tmp_path / "ck1"), cfg)
+    dead = spark.read.parquet(os.path.join(t.path, "dead_letter"))
+    n_dead = dead.count()
+    assert n_dead == 2  # null-op row is dead-lettered, not dropped
+    assert {r["op"] for r in dead.collect()} == {None, "Z"}
+    # full re-delivery via a FRESH checkpoint: every epoch skips, the
+    # dead-letter sink must not grow
+    run_stream(spark, feed_dir, t.path, str(tmp_path / "ck2"), cfg)
+    assert spark.read.parquet(os.path.join(t.path, "dead_letter")).count() == n_dead
