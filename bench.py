@@ -37,6 +37,7 @@ HEADLINE = [
     "q27_minhash_signatures",
     "q28_lsh_candidate_pairs",
     "q29_simhash",
+    "q30_near_dup_pairs",
     "q38_cosine_topk_fast",
 ]
 
@@ -92,6 +93,35 @@ def bench_cdc_apply(spark, n_events: int, cpus: int) -> dict:
     return out
 
 
+def bench_stream(spark, n_events: int, cpus: int) -> dict:
+    """Streaming-path trial: the same CDC apply driven through the
+    Structured Streaming runner (file source → foreachBatch →
+    exactly-once epoch commits), so checkpointing + trigger overhead is
+    visible next to the batch replay number."""
+    import shutil
+
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.streaming import run_stream
+
+    cfg = PipelineConfig(
+        n_buckets=max(32, cpus), write_mode="auto", max_files_per_trigger=4
+    )
+    tmp = tempfile.mkdtemp(prefix="qwatch_bench_stream_", dir=_fast_dir())
+    write_feed_files(spark, f"{tmp}/feed", n_events, files=8)
+    table = SnapshotTable.create(f"{tmp}/table", n_buckets=cfg.n_buckets)
+    t0 = time.time()
+    stats = run_stream(spark, f"{tmp}/feed", table.path, f"{tmp}/ckpt", cfg)
+    wall = time.time() - t0
+    out = {
+        "stream_events": n_events,
+        "stream_wall_sec": round(wall, 3),
+        "stream_events_per_sec": round(n_events / wall, 1),
+        "stream_epochs": len(stats),
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _fast_dir() -> str | None:
     """tmpfs if available — the host's single ~141 MB/s virtio disk is
     not representative of cluster storage and dominates otherwise."""
@@ -126,6 +156,10 @@ def main() -> None:
     cdc = bench_cdc_apply(spark, n_events, cpus)
     timings["cdc_apply"] = cdc["cdc_wall_sec"]
 
+    n_stream = int(os.environ.get("QWATCH_BENCH_STREAM_EVENTS", "500000"))
+    stream = bench_stream(spark, n_stream, cpus)
+    timings["stream_apply"] = stream["stream_wall_sec"]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_bench_wall_sec (headline ops + CDC apply replay)",
@@ -135,6 +169,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         **cdc,
+        **stream,
     }
     spark.stop()
     print(json.dumps(out))

@@ -28,8 +28,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--feed-dir", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--config", help="PipelineConfig JSON file")
+    p.add_argument("--config", help="PipelineConfig file (.json/.yml/.yaml)")
     p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--write-mode", choices=("cow", "delta", "auto"), default=None)
+    p.add_argument("--rules", default=None, help="comma-separated rule list")
+    p.add_argument("--keep-langs", default=None, help="comma-separated langs")
+    p.add_argument("--n-salt", type=int, default=None)
+    p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -40,12 +46,22 @@ def main(argv: list[str] | None = None) -> int:
     from qwatch_spark.session import get_spark
     from qwatch_spark.streaming.runner import run_stream
 
-    cfg = PipelineConfig.from_json_file(args.config) if args.config else PipelineConfig()
-    if args.n_buckets:
-        cfg = PipelineConfig.from_dict(
-            {**cfg.__dict__, "rules": cfg.rules, "n_buckets": args.n_buckets}
-        )
+    # layering: defaults < config file (yml/json) < CLI flags — the
+    # reference's qwatch.yml + cobra flags, strictly validated
+    cfg = PipelineConfig.from_file(args.config) if args.config else PipelineConfig()
+    cfg = cfg.with_overrides(
+        n_buckets=args.n_buckets,
+        write_mode=args.write_mode,
+        rules=tuple(args.rules.split(",")) if args.rules else None,
+        keep_langs=tuple(args.keep_langs.split(",")) if args.keep_langs else None,
+        n_salt=args.n_salt,
+        compact_every=args.compact_every,
+        min_quality=args.min_quality,
+    )
 
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="qwatch_apply", master=args.master)
     SnapshotTable.create(args.table, n_buckets=cfg.n_buckets)  # no-op if exists
     stats = run_stream(
@@ -65,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
         "skipped": sum(1 for s in stats if s.skipped),
     }
     print(json.dumps(summary))
-    spark.stop()
+    if not preexisting:  # don't tear down a caller-owned session
+        spark.stop()
     return 0
 
 

@@ -99,3 +99,31 @@ class PipelineConfig:
     def from_json_file(cls, path: str) -> "PipelineConfig":
         with open(path) as fh:
             return cls.from_dict(json.load(fh))
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "PipelineConfig":
+        """qwatch.yml analog (/root/reference/resources/qwatch.yml), but
+        strict: unknown keys error instead of silently reading the wrong
+        section (the reference ships `handlers:` while its code reads
+        `outputs`, server/server.go:67)."""
+        import yaml
+
+        with open(path) as fh:
+            raw = yaml.safe_load(fh) or {}
+        if not isinstance(raw, dict):
+            raise ValueError(f"config file {path!r} must contain a mapping")
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        if path.endswith((".yml", ".yaml")):
+            return cls.from_yaml_file(path)
+        return cls.from_json_file(path)
+
+    def with_overrides(self, **overrides: Any) -> "PipelineConfig":
+        """Config-file + CLI-flag layering (the reference's yml + cobra
+        flags, cmd/server.go:12-73): None values mean 'not given' and
+        keep the base; everything is re-validated."""
+        raw = dataclasses.asdict(self)
+        raw.update({k: v for k, v in overrides.items() if v is not None})
+        return PipelineConfig.from_dict(raw)

@@ -148,3 +148,61 @@ def test_schema_evolution_across_stream_restart(spark, tmp_path):
     assert "title" in [f.name for f in t.payload_schema.fields]
     out = t.read(spark)
     assert out.filter(F.col("title").isNotNull()).count() > 0
+
+
+def test_yaml_config_and_cli_layering(tmp_path):
+    """Config layering: defaults < yml file < CLI overrides, all strictly
+    validated (the reference's qwatch.yml + flags, cmd/server.go:12-73)."""
+    import pytest
+
+    from qwatch_spark.config import PipelineConfig
+
+    yml = tmp_path / "qwatch.yml"
+    yml.write_text("rules: [valid_url, extract_text]\nn_buckets: 16\nwrite_mode: delta\n")
+    cfg = PipelineConfig.from_file(str(yml))
+    assert cfg.rules == ("valid_url", "extract_text")
+    assert cfg.n_buckets == 16 and cfg.write_mode == "delta"
+    # CLI layer overrides some, keeps the rest; None = not given
+    over = cfg.with_overrides(write_mode="auto", n_salt=None, min_quality=0.5)
+    assert over.write_mode == "auto" and over.n_buckets == 16
+    assert over.min_quality == 0.5
+    # unknown keys / rules stay loud
+    (tmp_path / "bad.yml").write_text("handlers: [log]\n")
+    with pytest.raises(ValueError, match="unknown config key"):
+        PipelineConfig.from_file(str(tmp_path / "bad.yml"))
+    with pytest.raises(ValueError, match="unknown filter rule"):
+        cfg.with_overrides(rules=("nope",))
+
+
+def test_apply_job_cli_end_to_end(spark, tmp_path):
+    """jobs/apply_job.py drives the whole engine from flags (the
+    spark-submit surface), with a yml config layered under CLI flags."""
+    import json
+    import sys
+
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import apply_job
+
+    feed = str(tmp_path / "feed")
+    write_feed_files(spark, feed, 500, files=2)
+    yml = tmp_path / "cfg.yml"
+    yml.write_text("n_buckets: 8\nrules: [valid_url, lang_gate, extract_text]\n")
+    rc = apply_job.main(
+        [
+            "--feed-dir", feed,
+            "--table", str(tmp_path / "t"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--config", str(yml),
+            "--write-mode", "auto",
+            "--once",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.n_buckets == 8
+    assert t.read(spark).count() > 0
+    assert json.load(open(os.path.join(t.path, "manifest.json")))["version"] >= 1
