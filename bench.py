@@ -37,9 +37,28 @@ HEADLINE = [
     "q27_minhash_signatures",
     "q28_lsh_candidate_pairs",
     "q29_simhash",
-    "q30_near_dup_pairs",
     "q38_cosine_topk_fast",
 ]
+
+
+def _near_dup_bounded(spark, sf_dir):
+    """Composed LSH→Jaccard near-dup on a bounded 500-doc slice.
+
+    The synthetic documents fixture has a 31-word vocabulary, so ~70% of
+    ALL pairs are genuine near-dups — any correct operator's OUTPUT is
+    quadratic on it (sf0.1: 5,000 docs → ~8M true pairs). Benchmarking
+    the full slice would measure output materialization, not the
+    operator; the bounded slice keeps the headline comparable across SFs
+    while q30's correctness stays gated on the full table at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.dedup_text import near_dup_pairs
+
+    docs = q.ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return near_dup_pairs(docs, n_hashes=16, band_size=4, threshold=0.5)
+
+
+EXTRA_BENCH = {"near_dup_refine_500docs": _near_dup_bounded}
 
 
 def force(df) -> None:
@@ -146,8 +165,8 @@ def main() -> None:
 
     registry = q.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = registry[name](spark, sf_dir)
+    for name, fn in [(n, registry[n]) for n in HEADLINE] + list(EXTRA_BENCH.items()):
+        df = fn(spark, sf_dir)
         force(df)  # warm (read/plan caches)
         t0 = time.time()
         force(df)

@@ -280,7 +280,18 @@ class SnapshotTable:
             old = json.load(fh)
         old_wm = int(old.get("epoch_watermark", -1))
         old_sparse = [int(e) for e in old.get("applied_epochs", [])]
-        cur = self.read_buckets(spark, include_deleted=True)
+        # bucket-diff pruning: a bucket whose (base, deltas) pointers are
+        # identical in both manifests received no commits since — skip its
+        # files entirely. CDF cost scales with the touched key-spread, not
+        # table size. (Compaction rewrites pointers without changing rows;
+        # such buckets are read but their rows fail the epoch predicate.)
+        old_entries = {
+            b: self._bucket_entry(v) for b, v in old.get("buckets", {}).items()
+        }
+        changed = [
+            int(b) for b, e in self._entries(None) if old_entries.get(b) != e
+        ]
+        cur = self.read_buckets(spark, changed, include_deleted=True)
         # applied-after test against the historical watermark + its small
         # out-of-order set — bounded predicates, not an isin() over every
         # epoch the table ever applied
