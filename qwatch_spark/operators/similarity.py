@@ -235,6 +235,77 @@ def ann_topk_lsh(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest seed cell.
+
+    Seeds are the vectors with the `n_cells` smallest ids — a
+    deterministic medoid-style quantizer (real IVF trains k-means; the
+    partition/probe plumbing and the cost model are identical, and
+    determinism keeps the operator exactly reproducible by a SQL
+    oracle). Assignment = argmax cosine over the broadcast seed set;
+    ties break toward the lower cell id. One scan of the corpus, seeds
+    broadcast — no shuffle of the vectors."""
+    seeds = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cell"), F.col(vec_col).alias("_seed")
+    )
+    scored = vectors.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_cell"),
+        cosine_sim(F.col(vec_col), F.col("_seed")).alias("_sim"),
+    )
+    best = F.max_by(
+        F.col("_cell"), F.struct(F.col("_sim"), -F.col("_cell"))
+    ).alias("cell")
+    return scored.groupBy(id_col).agg(
+        best, F.first(vec_col).alias(vec_col)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k over only the `n_probe` cells whose
+    seeds are nearest the query — the inverted-file scale path (scan
+    n_probe/n_cells of the corpus instead of all of it). At 10⁹ vectors
+    you'd raise n_cells to ~√n and store the assignment as a bucketed
+    column so the probe is a partition-pruned read."""
+    assigned = ivf_assign(vectors, n_cells, id_col, vec_col)
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    seeds = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_seed")
+    )
+    probe = (
+        seeds.crossJoin(F.broadcast(q))
+        .select(
+            "cell", cosine_sim(F.col("_seed"), F.col("_qvec")).alias("_sim")
+        )
+        .orderBy(F.desc("_sim"), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != query_id
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

@@ -32,6 +32,7 @@ from qwatch_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_fast,
+    ivf_topk,
 )
 from qwatch_spark.operators.textstats import (
     LANG_MARKERS,
@@ -882,6 +883,54 @@ WHERE ROUND(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 9) >= 0.25
 """
 
 
+def q52_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: deterministic medoid coarse quantizer (seeds =
+    lowest vec_ids), probe the 2 nearest of 8 cells, exact cosine top-k
+    on the probed cells only — the inverted-file scale path."""
+    return ivf_topk(
+        ld(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8, n_probe=2
+    )
+
+
+SQL_IVF_TOPK = _EMB_CTE + """
+, sim AS (
+  SELECT a.vec_id, b.vec_id AS cell,
+         ROUND(CAST(SUM(CAST(a.xd * b.xd AS DECIMAL(30,15))) AS DOUBLE)
+               / (sqrt(na.nsq) * sqrt(nb.nsq)), 9) AS sim
+  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nsq, nb.nsq
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM sim
+  ) t WHERE rn = 1
+),
+probe AS (SELECT cell FROM sim WHERE vec_id = 0 ORDER BY sim DESC, cell LIMIT 2),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probe p ON a.cell = p.cell
+  WHERE a.vec_id <> 0
+),
+q AS (SELECT i, xd AS qx FROM e WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(e.xd * q.qx AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM e JOIN q ON e.i = q.i
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+)
+SELECT d.vec_id AS vec_id,
+       ROUND(d.dot / (sqrt(n.nsq) * sqrt(nq.nsq)), 9) AS cosine
+FROM dots d
+JOIN norms n ON n.vec_id = d.vec_id
+CROSS JOIN (SELECT nsq FROM norms WHERE vec_id = 0) nq
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops: text analysis
 # --------------------------------------------------------------------------
@@ -1413,6 +1462,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q49_rollup": (q49_rollup, SQL_ROLLUP),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
+    "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
 }
 
 

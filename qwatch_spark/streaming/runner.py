@@ -82,8 +82,15 @@ def run_stream(
     stream = read_feed_stream(
         spark, feed_dir, max_files_per_trigger=cfg.max_files_per_trigger
     )
+    _drive(stream, _apply, checkpoint_dir, available_now, processing_time, timeout_sec)
+    return stats
+
+
+def _drive(
+    stream, apply_fn, checkpoint_dir, available_now, processing_time, timeout_sec
+) -> None:
     writer = (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(apply_fn)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -96,4 +103,83 @@ def run_stream(
     finally:
         if query.isActive:
             query.stop()
+
+
+def run_entity_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    base_path: str,
+    checkpoint_dir: str,
+    specs,
+    links=None,
+    cfg: PipelineConfig | None = None,
+    feed_schema: T.StructType | None = None,
+    type_col: str = "entity_type",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timeout_sec: float | None = None,
+    dead_letter_sink: Sink | None = None,
+) -> list[dict]:
+    """Stream a discriminated multi-entity feed into per-entity
+    SnapshotTables (reference: the inventory channel's type switch,
+    outputs/neo4j.go:484-504, as a checkpointed exactly-once stream).
+
+    Rows with an invalid op, unknown/missing entity_type, or a null key
+    for their entity are dead-lettered through the sink protocol. Each
+    entity table skips re-delivered epochs independently; the first
+    spec's table leads the dead-letter idempotence check."""
+    from qwatch_spark.operators.entities import (
+        apply_entity_changes,
+        create_entity_tables,
+    )
+
+    cfg = cfg or PipelineConfig(rules=())
+    tables = create_entity_tables(
+        base_path, list(specs), list(links or []), n_buckets=cfg.n_buckets
+    )
+    sink = dead_letter_sink or ParquetSink(os.path.join(base_path, "dead_letter"))
+    if feed_schema is not None:
+        sink.ddl(
+            spark,
+            T.StructType(
+                list(feed_schema.fields)
+                + [T.StructField("_dead_epoch", T.LongType(), True)]
+            ),
+        )
+    stats: list[dict] = []
+    names = [s.name for s in specs]
+    lead = tables[names[0]]
+
+    def _split(df):
+        bad = (
+            F.col("op").isNull()
+            | ~F.col("op").isin("I", "U", "D")
+            | F.col(type_col).isNull()
+            | ~F.col(type_col).isin(*names)
+        )
+        for s in specs:
+            bad = bad | ((F.col(type_col) == s.name) & F.col(s.key_col).isNull())
+        return df.filter(~bad), df.filter(bad)
+
+    def _apply(batch_df, epoch_id: int) -> None:
+        fresh = {n: SnapshotTable(t.path) for n, t in tables.items()}
+        if not SnapshotTable(lead.path).has_epoch(epoch_id):
+            valid, dead = _split(batch_df)
+            sink.append(
+                dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
+            )
+        else:
+            valid = batch_df
+        stats.append(
+            apply_entity_changes(
+                spark, valid, list(specs), fresh, epoch_id,
+                links=list(links or []), cfg=cfg, type_col=type_col,
+            )
+        )
+
+    reader = spark.readStream.schema(feed_schema) if feed_schema else spark.readStream
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+    _drive(stream, _apply, checkpoint_dir, available_now, processing_time, timeout_sec)
     return stats

@@ -16,6 +16,8 @@ from qwatch_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     cosine_topk_fast,
+    ivf_assign,
+    ivf_topk,
     lsh_rand_buckets,
 )
 
@@ -73,6 +75,24 @@ def test_ann_recall_vs_bruteforce(emb):
     }
     recall = len(set(exact) & ann) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall} vs exact top-10"
+
+
+def test_ivf_partitions_and_recall(emb):
+    """IVF cells partition the corpus (every vector in exactly one cell,
+    roughly balanced) and probing 2/8 cells recovers most of the exact
+    top-10 while scanning ~25% of the corpus."""
+    n = emb.count()
+    a = ivf_assign(emb, n_cells=8)
+    assert a.count() == n
+    sizes = [r["count"] for r in a.groupBy("cell").count().collect()]
+    assert len(sizes) == 8 and max(sizes) < n / 2  # no degenerate cell
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(emb, 0, k=10, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(set(exact) & got) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
 
 
 def test_lsh_candidates_have_high_jaccard_recall(docs):
