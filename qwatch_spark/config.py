@@ -63,6 +63,10 @@ class PipelineConfig:
     # auto/delta: compact any bucket once it carries more than this many
     # delta versions (read amplification bound)
     compact_every: int = 8
+    # auto: additionally compact a bucket once its delta chain exceeds
+    # this many bytes on disk (None disables the byte trigger); bounds
+    # read amplification in I/O terms when epochs are few but large
+    compact_bytes: int | None = None
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]

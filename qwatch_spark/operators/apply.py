@@ -249,7 +249,11 @@ def apply_changes(
             # bound read amplification: fold deltas once a bucket carries
             # more than compact_every of them (atomic maintenance swap)
             t = time.time()
-            compacted = table.compact(spark, max_deltas=cfg.compact_every)
+            compacted = table.compact(
+                spark,
+                max_deltas=cfg.compact_every,
+                max_delta_bytes=cfg.compact_bytes,
+            )
             if compacted:
                 phases["compact"] = time.time() - t
 

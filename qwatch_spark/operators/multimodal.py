@@ -142,6 +142,53 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feats, FEATURE_SCHEMA)
 
 
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, codec: str = "header"
+) -> DataFrame:
+    """binary→binary image resize (the PIL/thumbnail plug point).
+
+    The header codec does a deterministic nearest-neighbor resample of
+    the fake payload and rewrites the header dims — exercising the real
+    shape of a resize stage: Arrow-batched bytes in, bytes out, non-image
+    rows passed through as NULL payloads (downstream gates drop them).
+    codec='real' raises where PIL would plug in."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "use codec='header' (deterministic fake) or install PIL"
+        )
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = _parse_header(payload)
+                if hdr is None or hdr[0] != "image":
+                    out.append((mid, None))
+                    continue
+                body = bytes(payload[16:])
+                n_out = max(out_w, 1) * 4
+                if body:
+                    idx = [min(int(i * len(body) / n_out), len(body) - 1) for i in range(n_out)]
+                    new_body = bytes(body[i] for i in idx)
+                else:
+                    new_body = b""
+                out.append(
+                    (mid, MAGIC + struct.pack(">III", 1, out_w, out_h) + new_body)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(rz, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     """Video frame sampling: one input row → N frame rows (row-expanding
     mapInPandas — the UDTF-shaped multimodal op)."""

@@ -399,12 +399,43 @@ class SnapshotTable:
         self._manifest = manifest
         return new_version
 
-    def compact(self, spark: SparkSession, max_deltas: int = 0) -> list[int]:
-        """Fold deltas into new base files for every bucket carrying more
-        than `max_deltas` delta versions. Maintenance-only: state is
-        unchanged, no epoch consumed. Returns the compacted bucket ids."""
+    def _delta_bytes(self, b: str, entry: dict) -> int:
+        """On-disk bytes of a bucket's delta chain (driver-side listing;
+        an object-store deployment would track this in the manifest at
+        commit time instead)."""
+        total = 0
+        for dv in entry["deltas"]:
+            d = os.path.join(self.path, "data", f"v={dv}", f"b={b}")
+            if os.path.isdir(d):
+                total += sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if not f.startswith(("_", "."))
+                )
+        return total
+
+    def compact(
+        self,
+        spark: SparkSession,
+        max_deltas: int = 0,
+        max_delta_bytes: int | None = None,
+    ) -> list[int]:
+        """Fold deltas into new base files for every bucket whose delta
+        chain exceeds `max_deltas` versions OR (when set)
+        `max_delta_bytes` on disk — chain length bounds read
+        amplification in file-open terms, bytes bounds it in I/O terms
+        (many tiny deltas vs few huge ones need different triggers).
+        Maintenance-only: state is unchanged, no epoch consumed. Returns
+        the compacted bucket ids."""
         victims = [
-            int(b) for b, e in self._entries(None) if len(e["deltas"]) > max_deltas
+            int(b)
+            for b, e in self._entries(None)
+            if len(e["deltas"]) > max_deltas
+            or (
+                max_delta_bytes is not None
+                and e["deltas"]
+                and self._delta_bytes(b, e) > max_delta_bytes
+            )
         ]
         if not victims:
             return []

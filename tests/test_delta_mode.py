@@ -125,3 +125,29 @@ def test_delta_lineage_counts(spark, tmp_path):
     ).collect()[0]
     assert row["up"] == sum(s.n_upserts for s in stats)
     assert row["del"] == sum(s.n_deletes for s in stats)
+
+
+def test_compact_by_bytes_trigger(spark, tmp_path):
+    """A bucket whose delta chain is small in COUNT but large in BYTES
+    compacts under the byte trigger (and not under count alone)."""
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+    cfg = PipelineConfig(n_buckets=2, write_mode="delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=2)
+    for e in range(3):
+        feed = gen_feed_df(spark, 2000).drop("epoch_hint")
+        apply_changes(spark, feed, t, e, cfg)
+    t = SnapshotTable(t.path)
+    assert t.has_deltas()
+    before = t.read(spark).count()
+    # count trigger alone (chain of 3 <= max_deltas=8): nothing compacts
+    assert t.compact(spark, max_deltas=8) == []
+    # byte trigger: any chain over 1 byte compacts
+    victims = t.compact(spark, max_deltas=8, max_delta_bytes=1)
+    assert sorted(victims) == [0, 1]
+    t = SnapshotTable(t.path)
+    assert not t.has_deltas()
+    assert t.read(spark).count() == before  # maintenance-only

@@ -122,3 +122,36 @@ def test_real_codec_raises(spark):
     media = make_media_df(spark, n=2)
     with pytest.raises(NotImplementedError):
         decode_metadata(media, codec="real")
+
+
+def test_resize_images_rewrites_dims_and_resamples(spark):
+    from qwatch_spark.operators.multimodal import (
+        decode_metadata,
+        make_media_df,
+        resize_images,
+    )
+
+    media = make_media_df(spark, 12)
+    resized = resize_images(media, out_w=4, out_h=4)
+    meta = decode_metadata(resized).collect()
+    by_id = {r["media_id"]: r for r in meta}
+    orig = {r["media_id"]: r for r in decode_metadata(media).collect()}
+    for mid, r in by_id.items():
+        if orig[mid]["kind"] == "image":
+            assert (r["kind"], r["dim_a"], r["dim_b"]) == ("image", 4, 4)
+            assert r["payload_bytes"] == 16  # 4 px * 4 bytes
+        else:  # non-images pass through as NULL payloads
+            assert not r["valid"]
+    # deterministic: same input → byte-identical output
+    a = {r["media_id"]: bytes(r["payload"]) for r in resized.collect() if r["payload"]}
+    b = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 4, 4).collect() if r["payload"]}
+    assert a == b
+
+
+def test_resize_real_codec_raises_at_call_site(spark):
+    import pytest
+
+    from qwatch_spark.operators.multimodal import make_media_df, resize_images
+
+    with pytest.raises(NotImplementedError):
+        resize_images(make_media_df(spark, 2), 4, 4, codec="real")
