@@ -115,3 +115,36 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     cross-engine definition)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every k-gram, slide a w-gram window, keep each
+    window's minimum hash, dedup — guarantees any match of length
+    ≥ w + k - 1 shares a fingerprint, with ~2/(w+1) selection density.
+
+    Plan shape: one explode (positions), one shuffle on doc_id for the
+    positional window, distinct — per-doc work is O(len); docs are
+    bounded, so partitions stay balanced at corpus scale. md5-based so
+    any SQL engine reproduces it exactly."""
+    from pyspark.sql import Window as W
+
+    n = (F.length("text") - (k - 1)).alias("n")
+    idx = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i")
+    grams = docs.select(id_col, F.col("text"), n, idx).select(
+        id_col,
+        "n",
+        F.col("i"),
+        F.md5(F.col("text").substr(F.col("i"), F.lit(k))).alias("h"),
+    )
+    win = W.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            id_col, "n", "i", F.min("h").over(win).alias("fp")
+        )
+        .filter(F.col("i") <= F.col("n") - (w - 1))  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -40,6 +40,7 @@ from qwatch_spark.operators.textstats import (
     lang_id,
     quality_score,
     token_count,
+    winnow_fingerprints,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1005,6 +1006,31 @@ FROM documents
 """
 
 
+def q53_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: min-hash of each sliding w-window
+    of k-gram hashes, per doc (docs < 50 — k-gram explosion is
+    length(text)× rows, same caveat as q46)."""
+    docs = ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+SQL_WINNOW = """
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 100000) t(i)),
+grams AS (
+  SELECT doc_id, i, md5(substr(text, i, 5)) AS h, length(text) - 4 AS n
+  FROM documents JOIN idx ON i <= length(text) - 4
+  WHERE doc_id < 50
+),
+wins AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n - 3
+"""
+
+
 # --------------------------------------------------------------------------
 # classic analytics (agg strength) + time-ordered operators
 # --------------------------------------------------------------------------
@@ -1463,6 +1489,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
     "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
+    "q53_winnow_fingerprints": (q53_winnow_fingerprints, SQL_WINNOW),
 }
 
 

