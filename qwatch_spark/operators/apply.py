@@ -142,46 +142,78 @@ def apply_changes(
     updates = apply_rules(updates, cfg, kind="post_gate")
     updates = updates.withColumn("_b", bucket_expr(table.n_buckets, key))
 
-    # Stage the deduped batch to the lake instead of caching: one pass over
-    # the feed, then cheap column-pruned re-reads — no executor memory
-    # pressure at scale, and the staged batch doubles as a debuggable
-    # artifact of what the epoch applied.
-    stage_dir = os.path.join(table.path, "stage", f"e={int(epoch_id)}")
+    use_delta = cfg.write_mode in ("delta", "auto")
     phases: dict[str, float] = {}
-    t = time.time()
-    updates.write.mode("overwrite").parquet(stage_dir)
-    updates = spark.read.parquet(stage_dir)
-    phases["stage"] = time.time() - t
+    stage_dir = None
     try:
-        t = time.time()
-        # one metadata-cheap job: touched buckets AND deduped batch size
-        bucket_counts = updates.groupBy("_b").count().collect()
-        touched = sorted(r["_b"] for r in bucket_counts)
-        n_events = sum(r["count"] for r in bucket_counts)
-        phases["plan"] = time.time() - t
-        if not touched:  # fully-gated batch: manifest-only commit
-            table.commit_empty_epoch(epoch_id)
-            return ApplyStats(
-                int(epoch_id), False, 0, 0, 0, 0, int((time.time() - t0) * 1000)
-            )
-        t = time.time()
-        use_delta = cfg.write_mode in ("delta", "auto")
         if use_delta:
-            # merge-on-read: commit only the epoch's updates (O(batch));
-            # readers resolve base ∪ deltas by the (warc_ts, seq) order.
-            # I-vs-U classification would need a table lookup, so delta
-            # lineage records upserts as 'U' (deletes stay exact).
+            # SINGLE-WRITE path: the deduped batch streams straight into
+            # its final delta files (merge-on-read: commit only the
+            # epoch's updates, O(batch); readers resolve base ∪ deltas by
+            # the (warc_ts, seq) order). No staging copy — at object-store
+            # scale that halves the epoch's PUT volume. Touched buckets
+            # come from the written partition dirs; batch size from
+            # parquet footers (no data scan). I-vs-U classification would
+            # need a table lookup, so delta lineage records upserts as
+            # 'U' (deletes stay exact).
+            t = time.time()
+            new_version = table.version + 1
+            out = os.path.join(table.path, "data", f"v={new_version}")
             snap = updates.drop("_b").select(
                 *payload_cols,
                 F.col("seq"),
                 (F.col("op") == "D").alias("is_deleted"),
                 F.when(F.col("op") == "D", "D").otherwise("U").alias("last_op"),
                 F.lit(int(epoch_id)).alias("last_epoch"),
+            ).withColumn("b", bucket_expr(table.n_buckets, key))
+            (
+                snap.repartition(table.n_buckets, "b")
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(out)
             )
-            new_version = table.commit_delta_epoch(
-                snap, touched, epoch_id, evolved_payload
+            touched = sorted(
+                int(d[2:]) for d in os.listdir(out) if d.startswith("b=")
             )
+            phases["write"] = time.time() - t
+            if not touched:  # fully-gated batch: manifest-only commit
+                shutil.rmtree(out, ignore_errors=True)
+                table.commit_empty_epoch(epoch_id)
+                return ApplyStats(
+                    int(epoch_id), False, 0, 0, 0, 0,
+                    int((time.time() - t0) * 1000),
+                )
+            t = time.time()
+            # footer-only count of the deduped batch we just wrote
+            n_events = spark.read.parquet(out).count()
+            table.commit_prewritten_delta(
+                touched, epoch_id, evolved_payload, new_version
+            )
+            phases["commit"] = time.time() - t
         else:
+            # COW path: stage the deduped batch to the lake instead of
+            # caching — one pass over the feed, then cheap column-pruned
+            # re-reads (merge input + bucket counts) with no executor
+            # memory pressure; the staged batch doubles as a debuggable
+            # artifact of what the epoch applied.
+            stage_dir = os.path.join(table.path, "stage", f"e={int(epoch_id)}")
+            t = time.time()
+            updates.write.mode("overwrite").parquet(stage_dir)
+            updates = spark.read.parquet(stage_dir)
+            phases["stage"] = time.time() - t
+            t = time.time()
+            # one metadata-cheap job: touched buckets AND deduped batch size
+            bucket_counts = updates.groupBy("_b").count().collect()
+            touched = sorted(r["_b"] for r in bucket_counts)
+            n_events = sum(r["count"] for r in bucket_counts)
+            phases["plan"] = time.time() - t
+            if not touched:  # fully-gated batch: manifest-only commit
+                table.commit_empty_epoch(epoch_id)
+                return ApplyStats(
+                    int(epoch_id), False, 0, 0, 0, 0,
+                    int((time.time() - t0) * 1000),
+                )
+            t = time.time()
             current = table.read_buckets(
                 spark, touched, payload_schema=evolved_payload
             )
@@ -189,7 +221,7 @@ def apply_changes(
                 current, updates.drop("_b"), epoch_id, payload_cols, key=key
             )
             table.commit_epoch(merged, touched, epoch_id, evolved_payload)
-        phases["merge_commit"] = time.time() - t
+            phases["merge_commit"] = time.time() - t
 
         # lineage AFTER the commit point: recomputable, column-pruned scan
         # of just-written files (bucket, last_op, seq only reach the scan)
@@ -265,7 +297,8 @@ def apply_changes(
             phases,
         )
     finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def replay_feed(

@@ -351,6 +351,47 @@ class SnapshotTable:
         self._manifest = manifest
         return new_version
 
+    def commit_prewritten_delta(
+        self,
+        touched_buckets: list[int],
+        epoch_id: int,
+        evolved_payload: T.StructType,
+        new_version: int,
+    ) -> int:
+        """Manifest-only delta commit for a version dir the CALLER already
+        wrote to data/v=<new_version> (single-write apply path: the
+        deduped batch streams straight into its final delta files — no
+        staging copy, half the write I/O of stage-then-commit). The
+        caller must have written partitionBy("b") dirs for exactly
+        `touched_buckets`. Crash before this call leaves an orphan
+        version dir (vacuum cleans it); the mutation guard rejects stale
+        writers at the swap."""
+        if self.has_epoch(epoch_id):
+            return self.version
+        if new_version != self.version + 1:
+            raise RuntimeError(
+                f"prewritten version {new_version} is stale (current "
+                f"{self.version}); another writer committed first"
+            )
+        manifest = dict(self._manifest)
+        manifest["version"] = new_version
+        manifest["schema"] = evolved_payload.json()
+        self._record_epoch(manifest, epoch_id)
+        buckets = dict(manifest["buckets"])
+        for b in touched_buckets:
+            e = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
+            buckets[str(int(b))] = {
+                "base": e["base"],
+                "deltas": [*e["deltas"], new_version],
+            }
+        manifest["buckets"] = buckets
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
+        )
+        self._manifest = manifest
+        return new_version
+
     def commit_delta_epoch(
         self,
         updates: DataFrame,
