@@ -76,6 +76,92 @@ class LinkSpec:
     fk_col: str
 
 
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def load_entity_specs(path: str) -> tuple[list[EntitySpec], list["LinkSpec"]]:
+    """Declarative entity-graph config (YAML or JSON) → specs.
+
+    The multi-entity analog of the reference's qwatch.yml: the graph of
+    entity kinds, keys, payload columns, FK edges, and link tables is
+    data, not code. Strictly validated — unknown types, missing keys,
+    and FKs to undeclared entities are errors.
+
+    ```yaml
+    entities:
+      - name: page
+        key: url
+        payload: {url: string, dom: string, warc_ts: timestamp}
+        fks: {dom: domain}
+      - name: domain
+        key: dom
+        payload: {dom: string, registrar: string, warc_ts: timestamp}
+    links:
+      - {name: page_domain, src: page, fk: dom}
+    ```
+    """
+    import json
+
+    if path.endswith((".yml", ".yaml")):
+        import yaml
+
+        with open(path) as fh:
+            raw = yaml.safe_load(fh) or {}
+    else:
+        with open(path) as fh:
+            raw = json.load(fh)
+    unknown = set(raw) - {"entities", "links"}
+    if unknown:
+        raise ValueError(f"unknown entity-config key(s) {sorted(unknown)}")
+    specs = []
+    for ent in raw.get("entities", []):
+        bad = set(ent) - {"name", "key", "payload", "fks"}
+        if bad:
+            raise ValueError(f"unknown entity key(s) {sorted(bad)} in {ent.get('name')}")
+        fields = []
+        for col, typ in ent["payload"].items():
+            if typ not in _TYPE_MAP:
+                raise ValueError(
+                    f"unknown type {typ!r} for {ent['name']}.{col}; "
+                    f"known: {sorted(_TYPE_MAP)}"
+                )
+            fields.append(T.StructField(col, _TYPE_MAP[typ], col != ent["key"]))
+        if ent["key"] not in ent["payload"]:
+            raise ValueError(f"entity {ent['name']}: key {ent['key']!r} not in payload")
+        specs.append(
+            EntitySpec(
+                name=ent["name"],
+                key_col=ent["key"],
+                payload_schema=T.StructType(fields),
+                fks=tuple((c, p) for c, p in ent.get("fks", {}).items()),
+            )
+        )
+    names = {s.name for s in specs}
+    for s in specs:
+        for fk_col, parent in s.fks:
+            if parent not in names:
+                raise ValueError(f"{s.name}.{fk_col} references undeclared entity {parent!r}")
+            if fk_col not in {f.name for f in s.payload_schema.fields}:
+                raise ValueError(f"{s.name}: fk column {fk_col!r} not in payload")
+    links = []
+    for lk in raw.get("links", []):
+        bad = set(lk) - {"name", "src", "fk"}
+        if bad:
+            raise ValueError(f"unknown link key(s) {sorted(bad)} in {lk.get('name')}")
+        if lk["src"] not in names:
+            raise ValueError(f"link {lk['name']}: unknown src entity {lk['src']!r}")
+        links.append(LinkSpec(name=lk["name"], src_entity=lk["src"], fk_col=lk["fk"]))
+    return specs, links
+
+
 LINK_PAYLOAD = T.StructType(
     [
         T.StructField("link_id", T.StringType(), False),

@@ -197,3 +197,71 @@ def test_entity_stream_end_to_end(spark, tmp_path):
     )
     assert SnapshotTable(f"{base}/page").read(spark).count() == 2
     assert spark.read.parquet(os.path.join(base, "dead_letter")).count() == 3
+
+
+def test_entity_specs_from_yaml_and_cli_job(spark, tmp_path):
+    """Declarative entity graph (yml) → specs → full CLI run."""
+    import json
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    from qwatch_spark.operators.entities import load_entity_specs
+
+    yml = tmp_path / "graph.yml"
+    yml.write_text(
+        "entities:\n"
+        "  - name: page\n"
+        "    key: url\n"
+        "    payload: {url: string, dom: string, warc_ts: timestamp}\n"
+        "    fks: {dom: domain}\n"
+        "  - name: domain\n"
+        "    key: dom\n"
+        "    payload: {dom: string, registrar: string, warc_ts: timestamp}\n"
+        "links:\n"
+        "  - {name: page_domain, src: page, fk: dom}\n"
+    )
+    specs, links = load_entity_specs(str(yml))
+    assert [s.name for s in specs] == ["page", "domain"]
+    assert specs[0].fks == (("dom", "domain"),)
+    assert links[0].name == "page_domain"
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text(
+        "entities:\n  - name: a\n    key: k\n    payload: {k: string}\n"
+        "    fks: {k: nowhere}\n"
+    )
+    with _pytest.raises(ValueError, match="undeclared entity"):
+        load_entity_specs(str(bad))
+
+    # end-to-end through the CLI job
+    rows = [
+        ("page", "I", 1, TS(1), "u1", "d1", None),
+        ("domain", "I", 2, TS(1), None, "d2", "reg-X"),
+    ]
+    feed_dir = str(tmp_path / "feed")
+    feed(spark, rows).coalesce(1).write.parquet(feed_dir)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import entity_job
+
+    rc = entity_job.main(
+        [
+            "--feed-dir", feed_dir,
+            "--base", str(tmp_path / "tables"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--entities", str(yml),
+            "--n-buckets", "4",
+            "--once",
+        ]
+    )
+    assert rc == 0
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+    doms = SnapshotTable(str(tmp_path / "tables" / "domain")).read(spark)
+    assert {r["dom"]: r["registrar"] for r in doms.collect()} == {
+        "d1": None, "d2": "reg-X",
+    }
+    assert json.load(
+        open(os.path.join(tmp_path, "tables", "page", "manifest.json"))
+    )["key_col"] == "url"
