@@ -127,13 +127,22 @@ def bench_stream(spark, n_events: int, cpus: int) -> dict:
     )
     tmp = tempfile.mkdtemp(prefix="qwatch_bench_stream_", dir=_fast_dir())
     write_feed_files(spark, f"{tmp}/feed", n_events, files=8)
-    table = SnapshotTable.create(f"{tmp}/table", n_buckets=cfg.n_buckets)
-    t0 = time.time()
-    stats = run_stream(spark, f"{tmp}/feed", table.path, f"{tmp}/ckpt", cfg)
-    wall = time.time() - t0
+    # best of 2: the host shows multi-x wall variance on identical runs
+    walls, stats = [], []
+    for trial in range(2):
+        table = SnapshotTable.create(
+            f"{tmp}/table{trial}", n_buckets=cfg.n_buckets
+        )
+        t0 = time.time()
+        stats = run_stream(
+            spark, f"{tmp}/feed", table.path, f"{tmp}/ckpt{trial}", cfg
+        )
+        walls.append(time.time() - t0)
+    wall = min(walls)
     out = {
         "stream_events": n_events,
         "stream_wall_sec": round(wall, 3),
+        "stream_wall_sec_trials": [round(w, 3) for w in walls],
         "stream_events_per_sec": round(n_events / wall, 1),
         "stream_epochs": len(stats),
     }
