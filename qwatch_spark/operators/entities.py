@@ -201,12 +201,33 @@ def create_entity_tables(
 
 
 def route_entity(
-    batch: DataFrame, spec: EntitySpec, type_col: str = "entity_type"
+    batch: DataFrame,
+    spec: EntitySpec,
+    type_col: str = "entity_type",
+    claimed: set[str] | None = None,
 ) -> DataFrame:
     """The type-switch arm: this entity's rows, pruned to its columns.
-    Both the equality filter and the prune reach the feed scan."""
+    Both the equality filter and the prune reach the feed scan.
+
+    Schema evolution through routing: feed columns claimed by NO
+    declared entity (new columns — north_rule's evolving change feed)
+    are kept for this entity iff its routed rows actually carry non-null
+    values for them; `apply_changes` then widens the entity's table.
+    The non-null probe is one cheap job per extra column and only runs
+    when the feed actually gained columns; the outcome is
+    replay-invariant (a column's non-null presence for an entity is a
+    property of the event set, not the epoching)."""
     cols = [f.name for f in spec.payload_schema.fields]
-    return batch.filter(F.col(type_col) == spec.name).select("op", "seq", *cols)
+    rows = batch.filter(F.col(type_col) == spec.name)
+    if claimed is not None:
+        skip = set(cols) | set(claimed) | {"op", "seq", type_col}
+        extras = [c for c in batch.columns if c not in skip]
+        cols = cols + [
+            c
+            for c in extras
+            if rows.filter(F.col(c).isNotNull()).limit(1).count() > 0
+        ]
+    return rows.select("op", "seq", *cols)
 
 
 def skeleton_parents(
@@ -261,18 +282,26 @@ def apply_entity_changes(
     one idempotent epoch-tagged apply per table."""
     cfg = cfg or PipelineConfig(rules=())
     by_name = {s.name: s for s in specs}
-    routed = {s.name: route_entity(batch, s, type_col) for s in specs}
+    claimed = {
+        f.name for s in specs for f in s.payload_schema.fields
+    }
+    routed = {
+        s.name: route_entity(batch, s, type_col, claimed=claimed) for s in specs
+    }
 
     stats: dict[str, ApplyStats] = {}
     for s in specs:
         entity_batch = routed[s.name]
         # fold in create-if-absent skeletons from every child that FKs us
+        # (allowMissingColumns: routed rows may carry evolved extras the
+        # skeleton frame doesn't — null-filled, exactly what a skeleton is)
         for child in specs:
             for fk_col, parent_name in child.fks:
                 if parent_name != s.name:
                     continue
                 entity_batch = entity_batch.unionByName(
-                    skeleton_parents(routed[child.name], fk_col, by_name[parent_name])
+                    skeleton_parents(routed[child.name], fk_col, by_name[parent_name]),
+                    allowMissingColumns=True,
                 )
         stats[s.name] = apply_changes(
             spark, entity_batch, tables[s.name], epoch_id, cfg

@@ -265,3 +265,36 @@ def test_entity_specs_from_yaml_and_cli_job(spark, tmp_path):
     assert json.load(
         open(os.path.join(tmp_path, "tables", "page", "manifest.json"))
     )["key_col"] == "url"
+
+
+def test_entity_schema_evolution_mid_stream(spark, tables):
+    """north_rule: added feed columns resolve against the target at apply
+    time — per entity. A 'title' column appearing on page events widens
+    the page table (old rows null-filled); the domain table is untouched."""
+    apply(spark, tables, [("page", "I", 1, TS(1), "u1", "d1", None)], 0)
+    widened = spark.createDataFrame(
+        [("page", "U", 2, TS(2), "u2", "d1", None, "Hello")],
+        FEED_SCHEMA + ", title string",
+    )
+    apply_entity_changes(
+        spark, widened, [PAGE, DOMAIN], tables, 1, links=LINKS
+    )
+    page_t = tables["page"]
+    assert "title" in [f.name for f in page_t.payload_schema.fields]
+    rows = {r["url"]: r["title"] for r in page_t.read(spark).collect()}
+    assert rows == {"u1": None, "u2": "Hello"}
+    assert "title" not in [
+        f.name for f in tables["domain"].payload_schema.fields
+    ]
+
+
+def test_entity_tables_time_travel(spark, tables):
+    """Per-entity time travel: every entity table keeps its own manifest
+    history, so any committed version is reconstructable."""
+    apply(spark, tables, [("domain", "I", 1, TS(1), None, "d1", "reg-A")], 0)
+    v1 = tables["domain"].version
+    apply(spark, tables, [("domain", "U", 2, TS(2), None, "d1", "reg-B")], 1)
+    t = tables["domain"]
+    assert {r["registrar"] for r in t.read(spark).collect()} == {"reg-B"}
+    old = t.read_version(spark, v1)
+    assert {r["registrar"] for r in old.collect()} == {"reg-A"}
