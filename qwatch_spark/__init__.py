@@ -14,4 +14,19 @@ SURVEY.md), re-expressed Spark-first:
 - Structured Streaming runner with checkpointed resume.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from qwatch_spark.config import PipelineConfig  # noqa: F401
+from qwatch_spark.operators.apply import apply_changes, replay_feed  # noqa: F401
+from qwatch_spark.operators.dedup import latest_wins  # noqa: F401
+from qwatch_spark.operators.entities import (  # noqa: F401
+    EntitySpec,
+    LinkSpec,
+    apply_entity_changes,
+    create_entity_tables,
+    load_entity_specs,
+)
+from qwatch_spark.operators.rules import apply_rules  # noqa: F401
+from qwatch_spark.plans.snapshot_table import SnapshotTable  # noqa: F401
+from qwatch_spark.sinks import ConsoleSink, MemorySink, ParquetSink, Sink  # noqa: F401
+from qwatch_spark.streaming import run_entity_stream, run_stream  # noqa: F401
