@@ -1212,6 +1212,51 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+def q54_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped: 6-table join (region→nation→customer/supplier→
+    orders→lineitem) with the local-supplier condition
+    (c_nationkey = s_nationkey). The join-reordering showcase: three tiny
+    dims broadcast, the fact-side joins shuffle on their keys, the date
+    filter pushes into the orders scan."""
+    r = ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = ld(spark, sf_dir, "nation")
+    c = ld(spark, sf_dir, "customer")
+    s = ld(spark, sf_dir, "supplier")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = ld(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_rev("l_extendedprice", "l_discount").alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def q48_intersect_keys(spark, sf_dir):
     """§2.7 set ops: users who both clicked and purchased."""
     ev = ld(spark, sf_dir, "events")
@@ -1490,6 +1535,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
     "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
     "q53_winnow_fingerprints": (q53_winnow_fingerprints, SQL_WINNOW),
+    "q54_local_supplier_volume": (q54_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
 }
 
 
