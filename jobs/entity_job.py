@@ -40,10 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import types as T
 
     from qwatch_spark.config import PipelineConfig
-    from qwatch_spark.operators.entities import load_entity_specs
+    from qwatch_spark.operators.entities import derive_feed_schema, load_entity_specs
     from qwatch_spark.session import get_spark
     from qwatch_spark.streaming.runner import run_entity_stream
 
@@ -51,16 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     cfg = PipelineConfig.from_file(args.config) if args.config else PipelineConfig(rules=())
     cfg = cfg.with_overrides(n_buckets=args.n_buckets, write_mode=args.write_mode)
 
-    # explicit feed schema = envelope + union of declared payload columns
-    fields: dict[str, T.StructField] = {
-        "entity_type": T.StructField("entity_type", T.StringType(), True),
-        "op": T.StructField("op", T.StringType(), True),
-        "seq": T.StructField("seq", T.LongType(), True),
-    }
-    for s in specs:
-        for f in s.payload_schema.fields:
-            fields.setdefault(f.name, T.StructField(f.name, f.dataType, True))
-    feed_schema = T.StructType(list(fields.values()))
+    # explicit feed schema = envelope + union of declared payload columns;
+    # cross-entity type conflicts on a shared column name are an error
+    feed_schema = derive_feed_schema(specs)
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="qwatch_entity_apply", master=args.master)

@@ -126,6 +126,21 @@ def apply_changes(
     )
     batch = apply_rules(batch, cfg, kind="gate")
 
+    if "exact_dup_gate" in cfg.rules:
+        # persist the content fingerprint so the gate's cross-epoch
+        # anti-join scans a 16-byte digest column, never stored text
+        from pyspark.sql import types as T
+
+        from qwatch_spark.operators.rules import FP_COL
+
+        if FP_COL not in {f.name for f in evolved_payload.fields}:
+            evolved_payload = T.StructType(
+                list(evolved_payload.fields)
+                + [T.StructField(FP_COL, T.StringType(), True)]
+            )
+        if FP_COL not in batch.columns:
+            batch = batch.withColumn(FP_COL, F.lit(None).cast("string"))
+
     payload_cols = [f.name for f in evolved_payload.fields]
     envelope = ["op", "seq"]
     batch = batch.select(
@@ -138,8 +153,11 @@ def apply_changes(
     # not once per raw event
     updates = apply_rules(updates, cfg, kind="project")
     # content gates that need projected columns (quality/exact-dup over
-    # extracted text) — still once per surviving key
-    updates = apply_rules(updates, cfg, kind="post_gate")
+    # extracted text) — still once per surviving key; ctx lets the
+    # exact-dup gate anti-join against the table's persisted fingerprints
+    updates = apply_rules(
+        updates, cfg, kind="post_gate", ctx={"spark": spark, "table": table}
+    )
     updates = updates.withColumn("_b", bucket_expr(table.n_buckets, key))
 
     use_delta = cfg.write_mode in ("delta", "auto")

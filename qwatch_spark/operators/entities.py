@@ -162,6 +162,37 @@ def load_entity_specs(path: str) -> tuple[list[EntitySpec], list["LinkSpec"]]:
     return specs, links
 
 
+def derive_feed_schema(
+    specs: list[EntitySpec], type_col: str = "entity_type"
+) -> T.StructType:
+    """Explicit read schema for a discriminated multi-entity feed:
+    envelope (entity_type, op, seq) + the union of declared payload
+    columns. Two entities may share a column name only at the SAME type —
+    a silent first-declaration-wins union would read the second entity's
+    payload with the wrong type (nulls / corrupt values), so conflicts
+    raise, naming both entities."""
+    fields: dict[str, T.StructField] = {
+        type_col: T.StructField(type_col, T.StringType(), True),
+        "op": T.StructField("op", T.StringType(), True),
+        "seq": T.StructField("seq", T.LongType(), True),
+    }
+    owner: dict[str, str] = {}
+    for s in specs:
+        for f in s.payload_schema.fields:
+            if f.name in owner:
+                if fields[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"feed column {f.name!r} declared as "
+                        f"{fields[f.name].dataType.simpleString()} by entity "
+                        f"{owner[f.name]!r} but {f.dataType.simpleString()} by "
+                        f"entity {s.name!r}; shared columns must agree on type"
+                    )
+                continue
+            owner[f.name] = s.name
+            fields[f.name] = T.StructField(f.name, f.dataType, True)
+    return T.StructType(list(fields.values()))
+
+
 LINK_PAYLOAD = T.StructType(
     [
         T.StructField("link_id", T.StringType(), False),
@@ -213,20 +244,22 @@ def route_entity(
     declared entity (new columns — north_rule's evolving change feed)
     are kept for this entity iff its routed rows actually carry non-null
     values for them; `apply_changes` then widens the entity's table.
-    The non-null probe is one cheap job per extra column and only runs
-    when the feed actually gained columns; the outcome is
-    replay-invariant (a column's non-null presence for an entity is a
-    property of the event set, not the epoching)."""
+    The non-null probe is ONE aggregate job over all extra columns
+    (``agg(max(col IS NOT NULL), ...)`` — map-side combinable booleans,
+    not one job per column) and only runs when the feed actually gained
+    columns; the outcome is replay-invariant (a column's non-null
+    presence for an entity is a property of the event set, not the
+    epoching)."""
     cols = [f.name for f in spec.payload_schema.fields]
     rows = batch.filter(F.col(type_col) == spec.name)
     if claimed is not None:
         skip = set(cols) | set(claimed) | {"op", "seq", type_col}
         extras = [c for c in batch.columns if c not in skip]
-        cols = cols + [
-            c
-            for c in extras
-            if rows.filter(F.col(c).isNotNull()).limit(1).count() > 0
-        ]
+        if extras:
+            present = rows.agg(
+                *[F.max(F.col(c).isNotNull()).alias(c) for c in extras]
+            ).first()
+            cols = cols + [c for c in extras if present[c]]
     return rows.select("op", "seq", *cols)
 
 

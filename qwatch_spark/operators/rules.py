@@ -19,36 +19,47 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qwatch_spark.config import PipelineConfig
 from qwatch_spark.functions.text import extract_text_udf
 from qwatch_spark.functions.urls import is_valid_url
 
-Rule = Callable[[DataFrame, PipelineConfig], DataFrame]
+# rules take (df, cfg) and may accept an optional apply context
+# (ctx={"spark", "table"}) for table-aware gates
+Rule = Callable[..., DataFrame]
+
+# persisted content-fingerprint column (written by exact_dup_gate so the
+# cross-epoch anti-join scans a 16-byte digest column, never text)
+FP_COL = "_fp"
+
+
+def content_fingerprint() -> Column:
+    """md5 of case-folded, whitespace-collapsed extracted text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")))
 
 def _is_delete():
     return F.col("op") == "D"
 
 
-def rule_valid_url(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_valid_url(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     return df.filter(is_valid_url(F.col("url")))
 
 
-def rule_lang_gate(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_lang_gate(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     return df.filter(_is_delete() | F.col("lang").isin(*cfg.keep_langs))
 
 
-def rule_min_html_bytes(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_min_html_bytes(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     return df.filter(_is_delete() | (F.length("html") >= cfg.min_html_bytes))
 
 
-def rule_extract_text(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_extract_text(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     return df.withColumn("text", extract_text_udf(F.col("html")))
 
 
-def rule_lang_fallback(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_lang_fallback(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     """Fill missing/'und' lang from the marker-word language heuristic on
     the extracted text (requires extract_text earlier in the rule list)."""
     from qwatch_spark.operators.textstats import lang_pred_expr
@@ -59,7 +70,7 @@ def rule_lang_fallback(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def rule_quality_gate(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def rule_quality_gate(df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None) -> DataFrame:
     """Drop page versions scoring below cfg.min_quality on the
     length/punct/stopword heuristic (training-data hygiene; requires
     extracted text, so it runs in the post-dedup phase)."""
@@ -69,24 +80,45 @@ def rule_quality_gate(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.filter(_is_delete() | (q >= cfg.min_quality))
 
 
-def rule_exact_dup_gate(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Exact-content dedup at ingest: one surviving row per normalized-text
-    fingerprint (md5 of case-folded, whitespace-collapsed text) — the
-    canonical copy is the earliest (warc_ts, seq, url). One extra shuffle
-    on the fingerprint digest, map-side combinable and skew-proof (hash
-    keys don't skew); deletes pass through untouched."""
-    live = df.filter(~_is_delete())
-    dels = df.filter(_is_delete())
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-    cols = df.columns
+def rule_exact_dup_gate(
+    df: DataFrame, cfg: PipelineConfig, ctx: dict | None = None
+) -> DataFrame:
+    """Exact-content dedup at ingest, TABLE-AWARE and epoching-independent:
+    one surviving row per normalized-text fingerprint (md5 of case-folded,
+    whitespace-collapsed text) across the whole table's life — the
+    canonical copy is the earliest-arriving (warc_ts, seq, url).
+
+    Two stages: (1) within-batch min_by per fingerprint — one extra
+    shuffle on the digest, map-side combinable and skew-proof (hash keys
+    don't skew); (2) when an apply context is given, an anti-join against
+    fingerprints already LIVE in the target table. The fingerprint is
+    persisted as the `_fp` payload column (apply_changes widens the
+    schema when this gate is enabled), so stage 2 is a column-pruned scan
+    of a 16-byte digest column — never a re-scan of stored text. Deletes
+    pass through untouched (their `_fp` stays null, so a tombstoned key's
+    content may legitimately re-enter later).
+
+    Replay-invariant for any epoching that respects the feed's
+    (warc_ts, seq) order — i.e. any prefix-partitioning of the ordered
+    feed yields the same final table (property-tested)."""
+    live = df.filter(~_is_delete()).withColumn(FP_COL, content_fingerprint())
+    dels = df.filter(_is_delete()).withColumn(FP_COL, F.lit(None).cast("string"))
+    cols = df.columns if FP_COL in df.columns else df.columns + [FP_COL]
     row = F.struct(*[F.col(c) for c in cols])
     order = F.struct(F.col("warc_ts"), F.col("seq"), F.col("url"))
     kept = (
-        live.withColumn("_fp", F.md5(norm))
-        .groupBy("_fp")
+        live.groupBy(FP_COL)
         .agg(F.min_by(row, order).alias("_row"))
         .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
     )
+    table = (ctx or {}).get("table")
+    if table is not None and FP_COL in {f.name for f in table.payload_schema.fields}:
+        existing = (
+            table.read_buckets(ctx["spark"], include_deleted=False)
+            .select(FP_COL)
+            .filter(F.col(FP_COL).isNotNull())
+        )
+        kept = kept.join(existing, FP_COL, "left_anti")
     return kept.unionByName(dels)
 
 
@@ -119,9 +151,16 @@ RULE_KIND: dict[str, str] = {
 }
 
 
-def apply_rules(df: DataFrame, cfg: PipelineConfig, kind: str | None = None) -> DataFrame:
+def apply_rules(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    kind: str | None = None,
+    ctx: dict | None = None,
+) -> DataFrame:
     """Chain cfg.rules in declared order (the DAG the reference never ran).
-    With `kind`, apply only that phase ('gate' or 'project')."""
+    With `kind`, apply only that phase ('gate'/'project'/'post_gate').
+    `ctx` ({"spark", "table"}) lets table-aware gates see the apply
+    target; rules degrade to batch-local behavior without it."""
     for name in cfg.rules:
         try:
             rule = RULE_REGISTRY[name]
@@ -129,5 +168,5 @@ def apply_rules(df: DataFrame, cfg: PipelineConfig, kind: str | None = None) -> 
             raise ValueError(f"unknown filter rule {name!r}") from None
         if kind is not None and RULE_KIND[name] != kind:
             continue
-        df = rule(df, cfg)
+        df = rule(df, cfg, ctx)
     return df

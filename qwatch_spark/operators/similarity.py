@@ -146,6 +146,19 @@ def _plane_dot(vec: Column, coeffs: list[int]) -> Column:
     return _dec_sum(prods).cast("double")
 
 
+def _check_dim(vectors: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail loudly if the embedding length differs from `dim`: zip_with
+    null-pads a shorter side and the decimal sum skips null products, so
+    a mismatch would silently project a truncated vector (recall loss
+    with no error). One limit-1 probe at plan-build time."""
+    row = vectors.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if row is not None and row["_d"] != dim:
+        raise ValueError(
+            f"embedding column {vec_col!r} has length {row['_d']}, "
+            f"but dim={dim} hyperplanes were requested; pass dim={row['_d']}"
+        )
+
+
 def lsh_rand_buckets(
     vectors: DataFrame,
     n_planes: int = 16,
@@ -163,6 +176,7 @@ def lsh_rand_buckets(
     tunable via (n_planes, n_bands) instead of praying over one probe.
     Single scan of the corpus: bands are exploded from one projection,
     not unioned re-scans."""
+    _check_dim(vectors, vec_col, dim)
     coeffs = plane_coeffs(n_planes, dim, seed)
     bpb = n_planes // n_bands
     band_structs = []
@@ -247,23 +261,37 @@ def ivf_assign(
     deterministic medoid-style quantizer (real IVF trains k-means; the
     partition/probe plumbing and the cost model are identical, and
     determinism keeps the operator exactly reproducible by a SQL
-    oracle). Assignment = argmax cosine over the broadcast seed set;
-    ties break toward the lower cell id. One scan of the corpus, seeds
-    broadcast — no shuffle of the vectors."""
-    seeds = vectors.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("_cell"), F.col(vec_col).alias("_seed")
+    oracle). Assignment = a PER-ROW argmax over the seed list inlined as
+    literals (bounded driver-side collect of n_cells rows): the plan is
+    one narrow projection over the corpus scan — ZERO exchanges, the
+    embeddings never travel. Ties break toward the lower cell id via
+    lexicographic struct comparison on (sim, -cell). At very large
+    n_cells (√n cells at corpus scale) the same argmax moves into an
+    Arrow-batched pandas UDF over a broadcast seed matrix instead of
+    literal expressions — still no shuffle."""
+    seed_rows = (
+        vectors.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
+        .orderBy("_cell")
+        .collect()
     )
-    scored = vectors.crossJoin(F.broadcast(seeds)).select(
+    cands = F.array(
+        *[
+            F.struct(
+                cosine_sim(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                ).alias("sim"),
+                F.lit(-int(r["_cell"])).alias("negcell"),
+            )
+            for r in seed_rows
+        ]
+    )
+    best = F.array_max(cands)
+    return vectors.select(
         F.col(id_col),
+        (-best["negcell"]).cast("long").alias("cell"),
         F.col(vec_col),
-        F.col("_cell"),
-        cosine_sim(F.col(vec_col), F.col("_seed")).alias("_sim"),
-    )
-    best = F.max_by(
-        F.col("_cell"), F.struct(F.col("_sim"), -F.col("_cell"))
-    ).alias("cell")
-    return scored.groupBy(id_col).agg(
-        best, F.first(vec_col).alias(vec_col)
     )
 
 

@@ -255,11 +255,16 @@ FROM documents WHERE source <> 'src0' GROUP BY 1
 # --------------------------------------------------------------------------
 
 def q11_fk_broadcast_join(spark, sf_dir):
-    """J1: FK equi-join to a small dimension — explicitly broadcast."""
+    """J1: FK equi-join to a small dimension — broadcast, but DECIDED BY
+    AQE, not a hint: `part` grows linearly with scale factor, so a forced
+    broadcast is a driver OOM at 100×. AQE broadcasts while it fits and
+    degrades to a shuffle join when it doesn't (plan-asserted at test
+    scale); only constant-size dims (nation/region) carry explicit
+    hints anywhere in this module."""
     li = ld(spark, sf_dir, "lineitem")
     part = ld(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
@@ -1185,13 +1190,16 @@ FROM events GROUP BY event_type
 
 
 def q45_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3-shaped: top-10 BUILDING-segment orders by revenue."""
+    """TPC-H Q3-shaped: top-10 BUILDING-segment orders by revenue.
+    `customer` scales linearly, so no broadcast hint — the segment filter
+    is pushed to its scan and AQE broadcasts the filtered side only while
+    it actually fits."""
     c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = ld(spark, sf_dir, "orders")
     li = ld(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(_dec_rev("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")

@@ -131,6 +131,7 @@ def run_entity_stream(
     from qwatch_spark.operators.entities import (
         apply_entity_changes,
         create_entity_tables,
+        derive_feed_schema,
     )
 
     cfg = cfg or PipelineConfig(rules=())
@@ -138,14 +139,17 @@ def run_entity_stream(
         base_path, list(specs), list(links or []), n_buckets=cfg.n_buckets
     )
     sink = dead_letter_sink or ParquetSink(os.path.join(base_path, "dead_letter"))
-    if feed_schema is not None:
-        sink.ddl(
-            spark,
-            T.StructType(
-                list(feed_schema.fields)
-                + [T.StructField("_dead_epoch", T.LongType(), True)]
-            ),
-        )
+    if feed_schema is None:
+        # never infer a streaming source schema: derive it from the specs
+        # (same union + type-conflict check as jobs/entity_job.py)
+        feed_schema = derive_feed_schema(list(specs), type_col=type_col)
+    sink.ddl(
+        spark,
+        T.StructType(
+            list(feed_schema.fields)
+            + [T.StructField("_dead_epoch", T.LongType(), True)]
+        ),
+    )
     stats: list[dict] = []
     names = [s.name for s in specs]
     lead = tables[names[0]]
@@ -163,13 +167,17 @@ def run_entity_stream(
 
     def _apply(batch_df, epoch_id: int) -> None:
         fresh = {n: SnapshotTable(t.path) for n, t in tables.items()}
+        # ALWAYS split — a crash between per-table commits (lead committed,
+        # a lagging entity table not) replays this epoch, and the lagging
+        # tables must still see only valid rows or replay-state diverges
+        # from no-crash state. Only the dead-letter side output is gated on
+        # the lead's epoch marker (keeps the sink exactly-once); the split
+        # itself is a cheap filter.
+        valid, dead = _split(batch_df)
         if not SnapshotTable(lead.path).has_epoch(epoch_id):
-            valid, dead = _split(batch_df)
             sink.append(
                 dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
             )
-        else:
-            valid = batch_df
         stats.append(
             apply_entity_changes(
                 spark, valid, list(specs), fresh, epoch_id,
@@ -177,7 +185,7 @@ def run_entity_stream(
             )
         )
 
-    reader = spark.readStream.schema(feed_schema) if feed_schema else spark.readStream
+    reader = spark.readStream.schema(feed_schema)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
     stream = reader.parquet(feed_dir)

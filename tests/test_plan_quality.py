@@ -89,6 +89,45 @@ def test_no_unbounded_broadcast_hints(spark):
         assert "hints=[broadcast]" not in logical.replace(" ", "").lower()
 
 
+def _hint_subtrees(df):
+    """Yield the analyzed-plan subtree (list of lines) under every
+    broadcast ResolvedHint node, by tree-drawing indentation."""
+    lines = df._jdf.queryExecution().analyzed().toString().split("\n")  # noqa: SLF001
+
+    def content_start(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    for i, ln in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in ln:
+            continue
+        h = content_start(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or content_start(nxt) <= h:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+# a broadcast hint is legitimate only on relations whose size is bounded
+# by construction: the constant-size TPC-H dims (nation: 25 rows,
+# region: 5) or a derived side capped by a literal filter / LIMIT
+# (1-row query vectors, per-band query buckets, n_probe probe cells)
+_BOUNDED_MARKERS = ("n_nationkey", "r_regionkey", "vec_id = ", "GlobalLimit")
+
+
+def test_no_unbounded_broadcast_hints_any_registry_query(spark):
+    """Every registered query: a forced broadcast on a relation that
+    grows with scale factor (customer, part, orders, documents, ...) is
+    a driver OOM at 100× — only constant-size dims and literal-capped
+    sides may carry hints. AQE handles everything else at runtime."""
+    for name, (fn, _sql) in q.REGISTRY.items():
+        for sub in _hint_subtrees(fn(spark, SF)):
+            assert any(m in sub for m in _BOUNDED_MARKERS), (
+                f"{name}: broadcast hint on an unbounded relation:\n{sub}"
+            )
+
+
 def test_near_dup_has_no_global_word_self_join(spark):
     """q30's plan must generate pairs only from LSH buckets: the word
     lists may be joined against the candidate set, but never word↔word
@@ -109,6 +148,18 @@ def test_near_dup_has_no_global_word_self_join(spark):
         cond = m.group(0)
         if "word" in cond:
             assert "<" not in cond, f"global word self-join present: {cond}"
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """Cell assignment must be a per-row argmax over the inlined seed
+    list — one narrow projection over the corpus scan, no Exchange: the
+    fattest column (the embeddings) never travels."""
+    from qwatch_spark.operators.similarity import ivf_assign
+
+    vecs = q.ld(spark, SF, "embeddings")
+    p = plan(ivf_assign(vecs, n_cells=4))
+    assert "Exchange" not in p, f"ivf_assign introduced a shuffle:\n{p}"
+    assert "Join" not in p
 
 
 def test_no_python_udf_in_jvm_paths(spark):
