@@ -175,6 +175,48 @@ def gen_feed_df(
     return df
 
 
+def gen_entity_feed_df(
+    spark: SparkSession,
+    n: int,
+    n_domains: int = DEFAULT_N_DOMAINS,
+    pages_per_domain: int = DEFAULT_PAGES_PER_DOMAIN,
+    epoch_size: int = EPOCH_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic discriminated multi-entity feed (page + domain) for
+    the q51-shaped pipeline at bench scale: every 11th event is a domain
+    event, the rest are page events carrying a domain FK; same mixer,
+    same hot-domain skew, and ops derived like `gen_feed_df` so the
+    entity bench exercises the identical write distribution."""
+    seq = F.col("id")
+    h1 = _mix_col(seq, 1)
+    domain = F.when(h1 % 100 < HOT_PCT, F.lit(0)).otherwise(
+        1 + F.pmod(F.floor(h1 / 100), F.lit(n_domains - 1))
+    )
+    page = _mix_col(seq, 2) % pages_per_domain
+    h3 = _mix_col(seq, 3) % 10
+    op = (
+        F.when(h3 == 0, F.lit("D"))
+        .when(h3 <= 4, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    jitter = _mix_col(seq, 4) % 1201 - 600
+    dom = F.concat(F.lit("d"), domain, F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), dom, F.lit("/p/"), page)
+    is_dom = (seq % 11) == 0
+    base = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    return base.select(
+        F.when(is_dom, F.lit("domain")).otherwise(F.lit("page")).alias("entity_type"),
+        op.alias("op"),
+        seq.alias("seq"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + seq + jitter).alias("warc_ts"),
+        url.alias("url"),
+        dom.alias("dom"),
+        F.concat(F.lit("r"), _mix_col(seq, 6) % 5).alias("registrar"),
+        (seq / epoch_size).cast("int").alias("epoch_hint"),
+    )
+
+
 def write_feed_files(
     spark: SparkSession, out_dir: str, n: int, files: int, **kwargs
 ) -> list[str]:

@@ -37,7 +37,7 @@ from qwatch_spark.config import PipelineConfig
 from qwatch_spark.operators.dedup import latest_wins
 from qwatch_spark.operators.evolution import resolve_schema
 from qwatch_spark.operators.rules import apply_rules
-from qwatch_spark.plans.snapshot_table import SnapshotTable, bucket_expr
+from qwatch_spark.plans.snapshot_table import SnapshotTable, _ziso, bucket_expr
 from qwatch_spark.schema import METRICS_SCHEMA
 
 
@@ -175,8 +175,7 @@ def apply_changes(
             # need a table lookup, so delta lineage records upserts as
             # 'U' (deletes stay exact).
             t = time.time()
-            new_version = table.version + 1
-            out = os.path.join(table.path, "data", f"v={new_version}")
+            new_version, vtoken, out = table.stage_version_dir()
             snap = updates.drop("_b").select(
                 *payload_cols,
                 F.col("seq"),
@@ -202,10 +201,27 @@ def apply_changes(
                     int((time.time() - t0) * 1000),
                 )
             t = time.time()
-            # footer-only count of the deduped batch we just wrote
-            n_events = spark.read.parquet(out).count()
+            # one narrow job over the just-written (page-cached) files:
+            # batch size + per-bucket warc_ts range (the zone map readers
+            # use to skip this delta entirely on a time predicate)
+            per_b = (
+                spark.read.parquet(out)
+                .groupBy("b")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min("warc_ts").alias("lo"),
+                    F.max("warc_ts").alias("hi"),
+                )
+                .collect()
+            )
+            n_events = sum(r["n"] for r in per_b)
+            zmaps = {
+                int(r["b"]): [_ziso(r["lo"]), _ziso(r["hi"])]
+                for r in per_b
+                if r["lo"] is not None
+            }
             table.commit_prewritten_delta(
-                touched, epoch_id, evolved_payload, new_version
+                touched, epoch_id, evolved_payload, new_version, vtoken, zmaps
             )
             phases["commit"] = time.time() - t
         else:
@@ -220,10 +236,20 @@ def apply_changes(
             updates = spark.read.parquet(stage_dir)
             phases["stage"] = time.time() - t
             t = time.time()
-            # one metadata-cheap job: touched buckets AND deduped batch size
-            bucket_counts = updates.groupBy("_b").count().collect()
-            touched = sorted(r["_b"] for r in bucket_counts)
-            n_events = sum(r["count"] for r in bucket_counts)
+            # one metadata-cheap job: touched buckets, deduped batch size,
+            # AND the per-bucket warc_ts range for the zone map
+            bucket_stats = updates.groupBy("_b").agg(
+                F.count("*").alias("n"),
+                F.min("warc_ts").alias("lo"),
+                F.max("warc_ts").alias("hi"),
+            ).collect()
+            touched = sorted(r["_b"] for r in bucket_stats)
+            n_events = sum(r["n"] for r in bucket_stats)
+            zmaps = {
+                int(r["_b"]): [_ziso(r["lo"]), _ziso(r["hi"])]
+                for r in bucket_stats
+                if r["lo"] is not None
+            }
             phases["plan"] = time.time() - t
             if not touched:  # fully-gated batch: manifest-only commit
                 table.commit_empty_epoch(epoch_id)
@@ -238,7 +264,7 @@ def apply_changes(
             merged = merge_cdc(
                 current, updates.drop("_b"), epoch_id, payload_cols, key=key
             )
-            table.commit_epoch(merged, touched, epoch_id, evolved_payload)
+            table.commit_epoch(merged, touched, epoch_id, evolved_payload, zmaps)
             phases["merge_commit"] = time.time() - t
 
         # lineage AFTER the commit point: recomputable, column-pruned scan
@@ -247,9 +273,7 @@ def apply_changes(
         if use_delta:
             from qwatch_spark.plans.snapshot_table import full_schema
 
-            written = spark.read.schema(full_schema(evolved_payload)).parquet(
-                os.path.join(table.path, "data", f"v={new_version}")
-            )
+            written = spark.read.schema(full_schema(evolved_payload)).parquet(out)
         else:
             written = table.read_buckets(
                 spark, touched, payload_schema=evolved_payload

@@ -90,17 +90,29 @@ def rule_exact_dup_gate(
 
     Two stages: (1) within-batch min_by per fingerprint — one extra
     shuffle on the digest, map-side combinable and skew-proof (hash keys
-    don't skew); (2) when an apply context is given, an anti-join against
-    fingerprints already LIVE in the target table. The fingerprint is
-    persisted as the `_fp` payload column (apply_changes widens the
-    schema when this gate is enabled), so stage 2 is a column-pruned scan
-    of a 16-byte digest column — never a re-scan of stored text. Deletes
-    pass through untouched (their `_fp` stays null, so a tombstoned key's
-    content may legitimately re-enter later).
+    don't skew); (2) when an apply context is given, an OWNER-AWARE
+    anti-join against fingerprints already LIVE in the target table: a
+    row is dropped iff its fingerprint is live on a DIFFERENT key, so a
+    key refreshing its own unchanged content still merges (latest-wins
+    updates its warc_ts) while cross-key duplicates never re-enter. The
+    fingerprint is persisted as the `_fp` payload column (apply_changes
+    widens the schema when this gate is enabled), so stage 2 scans only
+    (key, _fp) — never stored text. Deletes pass through untouched
+    (their `_fp` stays null, so a tombstoned key's content may
+    legitimately re-enter later).
 
-    Replay-invariant for any epoching that respects the feed's
-    (warc_ts, seq) order — i.e. any prefix-partitioning of the ordered
-    feed yields the same final table (property-tested)."""
+    Guarantees (property-tested in test_ingest_gates):
+    - a fingerprint live on another key is NEVER re-ingested — exact
+      duplicates arriving in different epochs are deduped (the
+      per-batch-only gate could not promise this);
+    - at most one LIVE row per fingerprint at every commit point;
+    - replay-invariance: prefix-partitioning an in-order feed (warc_ts
+      agrees with seq) yields the same final table, except the
+      pathological interleaving where one key re-observes content that
+      another key also carries — there the SET of live contents is
+      still epoching-independent but the canonical key may differ
+      (first-owner-wins across epochs vs earliest-(warc_ts, seq, url)
+      within one batch)."""
     live = df.filter(~_is_delete()).withColumn(FP_COL, content_fingerprint())
     dels = df.filter(_is_delete()).withColumn(FP_COL, F.lit(None).cast("string"))
     cols = df.columns if FP_COL in df.columns else df.columns + [FP_COL]
@@ -113,12 +125,19 @@ def rule_exact_dup_gate(
     )
     table = (ctx or {}).get("table")
     if table is not None and FP_COL in {f.name for f in table.payload_schema.fields}:
+        key = table.key_col
         existing = (
             table.read_buckets(ctx["spark"], include_deleted=False)
-            .select(FP_COL)
+            .select(F.col(key).alias("_fp_owner"), FP_COL)
             .filter(F.col(FP_COL).isNotNull())
         )
-        kept = kept.join(existing, FP_COL, "left_anti")
+        # live fingerprints are unique (gate invariant), so this left
+        # join matches at most one owner per row — no fan-out
+        kept = (
+            kept.join(existing, FP_COL, "left")
+            .filter(F.col("_fp_owner").isNull() | (F.col("_fp_owner") == F.col(key)))
+            .drop("_fp_owner")
+        )
     return kept.unionByName(dels)
 
 

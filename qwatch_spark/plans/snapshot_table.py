@@ -32,7 +32,10 @@ Layout on disk::
     table/
       manifest.json                 # {version, n_buckets, schema,
                                     #  applied_epochs, buckets: {b: v}}
-      data/v=<version>/b=<bucket>/  # parquet, written via partitionBy("b")
+      data/v=<version>-<nonce>/b=<bucket>/  # parquet via partitionBy("b");
+                                    # the nonce makes each writer's dir
+                                    # unique (loser of a commit race never
+                                    # clobbers the winner's files)
       metrics/                      # per-epoch per-bucket lineage (append)
       commit_log/                   # one row per committed epoch (append)
 """
@@ -43,6 +46,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,8 +69,34 @@ def bucket_expr(n_buckets: int, url_col: str = "url") -> Column:
     return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int")
 
 
+def _vtoken(new_version: int) -> str:
+    """Writer-unique data-dir token for a version (``v=<N>-<nonce>``).
+
+    Concurrent writers racing toward the same version each write their
+    OWN directory, so the loser of the manifest swap can abort without
+    ever having clobbered the winner's files — the swap (plus mutation
+    guard) stays the only commit point, and loser data is just an orphan
+    dir for vacuum. Legacy plain-int tokens remain readable."""
+    return f"{int(new_version)}-{uuid.uuid4().hex[:8]}"
+
+
 def full_schema(payload: T.StructType) -> T.StructType:
     return T.StructType(list(payload.fields) + BOOKKEEPING_FIELDS)
+
+
+def _ziso(v) -> str | None:
+    return v.isoformat() if v is not None else None
+
+
+def _zmerge(*ranges):
+    """Union of [lo, hi] ISO-string warc_ts ranges (None-safe). ISO
+    strings compare chronologically, so min/max on the strings is
+    exact."""
+    los = [r[0] for r in ranges if r and r[0] is not None]
+    his = [r[1] for r in ranges if r and r[1] is not None]
+    if not los or not his:
+        return None
+    return [min(los), max(his)]
 
 
 class SnapshotTable:
@@ -189,10 +219,13 @@ class SnapshotTable:
 
     @staticmethod
     def _bucket_entry(raw) -> dict:
-        """Manifest bucket entry; accepts the legacy plain-int form."""
+        """Manifest bucket entry; accepts the legacy plain-int form.
+        `z` maps version token → [min_warc_ts, max_warc_ts] (ISO strings)
+        over that token's files for this bucket — the zone map readers
+        use to skip whole files on a time predicate."""
         if isinstance(raw, dict):
-            return raw
-        return {"base": raw, "deltas": []}
+            return {"base": raw["base"], "deltas": raw["deltas"], "z": raw.get("z", {})}
+        return {"base": raw, "deltas": [], "z": {}}
 
     def _entries(self, buckets: list[int] | None):
         mapping = self._manifest["buckets"]
@@ -204,15 +237,38 @@ class SnapshotTable:
         return [(b, self._bucket_entry(v)) for b, v in items]
 
     def _bucket_paths(
-        self, buckets: list[int] | None = None
+        self,
+        buckets: list[int] | None = None,
+        min_warc_ts=None,
     ) -> tuple[list[str], list[str]]:
-        """(base paths, delta paths) for the chosen buckets."""
+        """(base paths, delta paths) for the chosen buckets.
+
+        With `min_warc_ts`, zone-map pruning: skip any (bucket, version)
+        file whose recorded max warc_ts is older than the predicate —
+        manifest-only, zero file opens for cold history. Safe under
+        latest-wins because a key's winning row carries its max warc_ts:
+        if any row of the key passes the predicate, so does the winner,
+        and the winner's file can't be pruned. Tokens without a recorded
+        range are conservatively kept."""
+
+        def keep(e: dict, tok) -> bool:
+            if min_warc_ts is None:
+                return True
+            rng = e["z"].get(str(tok))
+            if not rng or rng[1] is None:
+                return True
+            import datetime as dt
+
+            hi = dt.datetime.fromisoformat(rng[1])
+            return hi >= min_warc_ts
+
         base, deltas = [], []
         for b, e in self._entries(buckets):
-            if e["base"] is not None:
+            if e["base"] is not None and keep(e, e["base"]):
                 base.append(os.path.join(self.path, "data", f"v={e['base']}", f"b={b}"))
             for dv in e["deltas"]:
-                deltas.append(os.path.join(self.path, "data", f"v={dv}", f"b={b}"))
+                if keep(e, dv):
+                    deltas.append(os.path.join(self.path, "data", f"v={dv}", f"b={b}"))
         return base, deltas
 
     def has_deltas(self, buckets: list[int] | None = None) -> bool:
@@ -224,6 +280,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         payload_schema: T.StructType | None = None,
         include_deleted: bool = True,
+        min_warc_ts=None,
     ) -> DataFrame:
         """Current resolved state of the chosen buckets (all if None).
 
@@ -231,14 +288,23 @@ class SnapshotTable:
         one row per url by the (warc_ts, seq, last_epoch) total order — the
         same latest-wins contract the writer enforces. Old files missing
         newly-evolved columns are null-filled by the parquet reader
-        (schema evolution without rewriting history)."""
+        (schema evolution without rewriting history).
+
+        `min_warc_ts` returns only rows whose current warc_ts passes the
+        predicate, zone-map-pruning whole files first (see
+        `_bucket_paths`) and letting parquet row-group stats skip within
+        the files that remain."""
         schema = full_schema(payload_schema or self.payload_schema)
-        base_paths, delta_paths = self._bucket_paths(buckets)
+        base_paths, delta_paths = self._bucket_paths(buckets, min_warc_ts)
         paths = base_paths + delta_paths
         if not paths:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
+            if min_warc_ts is not None:
+                # pre-dedup filter is safe: the winner carries the key's
+                # max warc_ts, so filtering can never promote a loser
+                df = df.filter(F.col("warc_ts") >= F.lit(min_warc_ts))
             if delta_paths:
                 from qwatch_spark.operators.dedup import latest_wins
 
@@ -269,12 +335,17 @@ class SnapshotTable:
         snap._manifest = manifest
         return snap.read(spark, include_deleted=include_deleted)
 
-    def read_changes(self, spark: SparkSession, since_version: int) -> DataFrame:
+    def read_changes(
+        self, spark: SparkSession, since_version: int, min_warc_ts=None
+    ) -> DataFrame:
         """Change data feed: the current winning row of every key whose
         state changed after `since_version` — upserts AND tombstones
         (consumers see deletes via is_deleted). Computed from per-row
         `last_epoch` lineage against the historical manifest's applied
-        epochs; cost is one column-pruned scan of the current state."""
+        epochs; cost is one column-pruned scan of the current state.
+        `min_warc_ts` additionally zone-map-prunes whole files whose
+        recorded warc_ts range predates the predicate (manifest-only —
+        cold history costs zero file opens)."""
         hist = os.path.join(self.path, "manifests", f"v={int(since_version)}.json")
         with open(hist) as fh:
             old = json.load(fh)
@@ -291,7 +362,9 @@ class SnapshotTable:
         changed = [
             int(b) for b, e in self._entries(None) if old_entries.get(b) != e
         ]
-        cur = self.read_buckets(spark, changed, include_deleted=True)
+        cur = self.read_buckets(
+            spark, changed, include_deleted=True, min_warc_ts=min_warc_ts
+        )
         # applied-after test against the historical watermark + its small
         # out-of-order set — bounded predicates, not an isin() over every
         # epoch the table ever applied
@@ -310,19 +383,50 @@ class SnapshotTable:
 
     # ---------- commit ----------
 
+    def _swap_or_cleanup(self, manifest: dict, written_dir: str) -> None:
+        """Mutation-guarded manifest swap; on a concurrent-writer abort,
+        delete this writer's own (never-shared) version dir so the loser
+        leaves no junk — the winner's files were never at risk."""
+        try:
+            self._write_manifest(
+                self.path, manifest,
+                expected_mutation=self._manifest.get("mutation", 0),
+            )
+        except RuntimeError:
+            shutil.rmtree(written_dir, ignore_errors=True)
+            raise
+        self._manifest = manifest
+
+    def stage_version_dir(self) -> tuple[int, str, str]:
+        """(new_version, token, absolute dir) for a caller-prewritten
+        commit: a writer-unique staging dir under data/. Two racing
+        writers get different dirs; whoever loses the manifest swap
+        aborts without having touched the winner's files."""
+        v = self.version + 1
+        token = _vtoken(v)
+        return v, token, os.path.join(self.path, "data", f"v={token}")
+
     def commit_epoch(
         self,
         merged: DataFrame,
         touched_buckets: list[int],
         epoch_id: int,
         evolved_payload: T.StructType,
+        zmaps: dict | None = None,
     ) -> int:
-        """Write merged rows of the touched buckets as a new version dir,
-        then atomically swap the manifest. Returns the new version."""
+        """Write merged rows of the touched buckets as a new writer-unique
+        version dir, then atomically swap the manifest. Returns the new
+        version.
+
+        `zmaps` (bucket → [lo, hi] warc_ts range of the epoch's UPDATES)
+        extends each rewritten bucket's zone map: the new base holds
+        current ∪ updates, so its range is the union of the old entry's
+        ranges and the updates' range — no extra job over the data."""
         if self.has_epoch(epoch_id):
             return self.version  # duplicate delivery → no-op
         new_version = self.version + 1
-        out = os.path.join(self.path, "data", f"v={new_version}")
+        token = _vtoken(new_version)
+        out = os.path.join(self.path, "data", f"v={token}")
         cols = [f.name for f in full_schema(evolved_payload).fields]
         (
             merged.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
@@ -342,13 +446,22 @@ class SnapshotTable:
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             # copy-on-write: the new base subsumes any prior deltas
-            buckets[str(int(b))] = {"base": new_version, "deltas": []}
+            old = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
+            # only record a range when EVERY contributing file's range is
+            # known — an understated hi would wrongly prune live rows
+            rng = None
+            if zmaps is not None:
+                prior = [t for t in [old["base"], *old["deltas"]] if t is not None]
+                known = [old["z"].get(str(t)) for t in prior]
+                if all(k is not None for k in known):
+                    rng = _zmerge(*known, zmaps.get(int(b)))
+            buckets[str(int(b))] = {
+                "base": token,
+                "deltas": [],
+                "z": {str(token): rng} if rng else {},
+            }
         manifest["buckets"] = buckets
-        self._write_manifest(
-            self.path, manifest,
-            expected_mutation=self._manifest.get("mutation", 0),
-        )
-        self._manifest = manifest
+        self._swap_or_cleanup(manifest, out)
         return new_version
 
     def commit_prewritten_delta(
@@ -357,18 +470,24 @@ class SnapshotTable:
         epoch_id: int,
         evolved_payload: T.StructType,
         new_version: int,
+        token: str | None = None,
+        zmaps: dict | None = None,
     ) -> int:
         """Manifest-only delta commit for a version dir the CALLER already
-        wrote to data/v=<new_version> (single-write apply path: the
+        wrote via `stage_version_dir()` (single-write apply path: the
         deduped batch streams straight into its final delta files — no
         staging copy, half the write I/O of stage-then-commit). The
         caller must have written partitionBy("b") dirs for exactly
         `touched_buckets`. Crash before this call leaves an orphan
         version dir (vacuum cleans it); the mutation guard rejects stale
-        writers at the swap."""
+        writers at the swap, and the staging dir is writer-unique so a
+        loser never clobbered the winner's files."""
         if self.has_epoch(epoch_id):
             return self.version
+        token = token if token is not None else str(int(new_version))
+        out = os.path.join(self.path, "data", f"v={token}")
         if new_version != self.version + 1:
+            shutil.rmtree(out, ignore_errors=True)
             raise RuntimeError(
                 f"prewritten version {new_version} is stale (current "
                 f"{self.version}); another writer committed first"
@@ -380,16 +499,18 @@ class SnapshotTable:
         buckets = dict(manifest["buckets"])
         for b in touched_buckets:
             e = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
+            z = dict(e["z"])
+            rng = (zmaps or {}).get(int(b))
+            if rng:
+                # exact range of THIS delta's files for the bucket
+                z[str(token)] = rng
             buckets[str(int(b))] = {
                 "base": e["base"],
-                "deltas": [*e["deltas"], new_version],
+                "deltas": [*e["deltas"], token],
+                "z": z,
             }
         manifest["buckets"] = buckets
-        self._write_manifest(
-            self.path, manifest,
-            expected_mutation=self._manifest.get("mutation", 0),
-        )
-        self._manifest = manifest
+        self._swap_or_cleanup(manifest, out)
         return new_version
 
     def commit_delta_epoch(
@@ -411,7 +532,8 @@ class SnapshotTable:
         if self.has_epoch(epoch_id):
             return self.version
         new_version = self.version + 1
-        out = os.path.join(self.path, "data", f"v={new_version}")
+        token = _vtoken(new_version)
+        out = os.path.join(self.path, "data", f"v={token}")
         cols = [f.name for f in full_schema(evolved_payload).fields]
         (
             updates.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
@@ -430,14 +552,11 @@ class SnapshotTable:
             e = self._bucket_entry(buckets.get(str(int(b)), {"base": None, "deltas": []}))
             buckets[str(int(b))] = {
                 "base": e["base"],
-                "deltas": [*e["deltas"], new_version],
+                "deltas": [*e["deltas"], token],
+                "z": e["z"],
             }
         manifest["buckets"] = buckets
-        self._write_manifest(
-            self.path, manifest,
-            expected_mutation=self._manifest.get("mutation", 0),
-        )
-        self._manifest = manifest
+        self._swap_or_cleanup(manifest, out)
         return new_version
 
     def _delta_bytes(self, b: str, entry: dict) -> int:
@@ -482,7 +601,8 @@ class SnapshotTable:
             return []
         resolved = self.read_buckets(spark, victims)
         new_version = self.version + 1
-        out = os.path.join(self.path, "data", f"v={new_version}")
+        token = _vtoken(new_version)
+        out = os.path.join(self.path, "data", f"v={token}")
         cols = [f.name for f in full_schema(self.payload_schema).fields]
         (
             resolved.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
@@ -496,13 +616,20 @@ class SnapshotTable:
         manifest["version"] = new_version
         buckets = dict(manifest["buckets"])
         for b in victims:
-            buckets[str(b)] = {"base": new_version, "deltas": []}
+            # fold zone maps with the files: union of the folded ranges
+            # (loose after deletes, but never understated) — only when
+            # every folded file's range was known
+            old = self._bucket_entry(buckets[str(b)])
+            prior = [t for t in [old["base"], *old["deltas"]] if t is not None]
+            known = [old["z"].get(str(t)) for t in prior]
+            rng = _zmerge(*known) if all(k is not None for k in known) else None
+            buckets[str(b)] = {
+                "base": token,
+                "deltas": [],
+                "z": {str(token): rng} if rng else {},
+            }
         manifest["buckets"] = buckets
-        self._write_manifest(
-            self.path, manifest,
-            expected_mutation=self._manifest.get("mutation", 0),
-        )
-        self._manifest = manifest
+        self._swap_or_cleanup(manifest, out)
         return victims
 
     def commit_empty_epoch(self, epoch_id: int) -> None:
@@ -587,20 +714,21 @@ class SnapshotTable:
 
     def vacuum(self) -> list[str]:
         """Delete version dirs no longer referenced by any bucket pointer
-        (base or delta). Safe because the manifest swap is the only commit
-        point."""
-        live: set[int] = set()
+        (base or delta) — including aborted concurrent writers' orphan
+        staging dirs. Safe because the manifest swap is the only commit
+        point. Tokens are compared as directory names (legacy plain-int
+        and writer-unique `N-<nonce>` forms alike)."""
+        live: set[str] = set()
         for _b, e in self._entries(None):
             if e["base"] is not None:
-                live.add(int(e["base"]))
-            live.update(int(d) for d in e["deltas"])
+                live.add(f"v={e['base']}")
+            live.update(f"v={d}" for d in e["deltas"])
         removed = []
         data = os.path.join(self.path, "data")
         for entry in os.listdir(data):
             if not entry.startswith("v="):
                 continue
-            v = int(entry[2:])
-            if v not in live:
+            if entry not in live:
                 shutil.rmtree(os.path.join(data, entry))
                 removed.append(entry)
         return removed

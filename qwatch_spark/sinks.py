@@ -86,6 +86,108 @@ class ParquetSink:
         return reader.parquet(self.path)
 
 
+_DUCK_TYPES = {
+    "string": "VARCHAR",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+    "boolean": "BOOLEAN",
+}
+
+
+class DuckDBSink:
+    """External-SQL-store adapter (the reference's elasticsearch output,
+    /root/reference/outputs/elasticsearch.go:56-101: createIndex DDL +
+    buffered indexLog — here an embedded DuckDB file standing in for any
+    store reached over a client, with none of the lake's atomic
+    directory-overwrite tricks available).
+
+    Epoch idempotence WITHOUT overwrite semantics: `append` runs
+    DELETE-where-epoch + INSERT inside ONE transaction, so a re-delivered
+    epoch replaces its own rows exactly and a crash mid-append leaves the
+    store unchanged (the transaction aborts). Rows travel driver-side as
+    one Arrow table (zero-copy into DuckDB) — the single-client funnel
+    the reference's ES output has too; a sharded store would take the
+    same SQL per executor via foreachPartition connections."""
+
+    EPOCH_COL = "_sink_epoch"
+
+    def __init__(self, db_path: str, table: str = "sink"):
+        self.db_path = db_path
+        self.table = table
+        self._schema: T.StructType | None = None
+
+    def _con(self):
+        import duckdb
+
+        return duckdb.connect(self.db_path)
+
+    def ddl(self, spark: SparkSession, schema: T.StructType) -> None:
+        self._schema = schema
+        cols = []
+        for f in schema.fields:
+            t = _DUCK_TYPES.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"DuckDBSink: unmapped type {f.dataType.simpleString()!r} "
+                    f"for column {f.name!r}"
+                )
+            cols.append(f'"{f.name}" {t}')
+        cols.append(f'"{self.EPOCH_COL}" BIGINT')
+        con = self._con()
+        try:
+            con.execute(
+                f'CREATE TABLE IF NOT EXISTS "{self.table}" ({", ".join(cols)})'
+            )
+        finally:
+            con.close()
+
+    def append(self, df: DataFrame, epoch_id: int) -> None:
+        if self._schema is None:
+            raise RuntimeError("DuckDBSink.append before ddl")
+        batch = df.select(*[f.name for f in self._schema.fields]).toArrow()
+        con = self._con()
+        try:
+            con.register("_epoch_batch", batch)
+            con.execute("BEGIN")
+            con.execute(
+                f'DELETE FROM "{self.table}" WHERE "{self.EPOCH_COL}" = ?',
+                [int(epoch_id)],
+            )
+            con.execute(
+                f'INSERT INTO "{self.table}" '
+                f"SELECT *, {int(epoch_id)} FROM _epoch_batch"
+            )
+            con.execute("COMMIT")
+        except Exception:
+            con.execute("ROLLBACK")
+            raise
+        finally:
+            con.close()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self._schema is None:
+            raise RuntimeError("DuckDBSink.read before ddl")
+        con = self._con()
+        try:
+            pdf = con.execute(f'SELECT * FROM "{self.table}"').df()
+        finally:
+            con.close()
+        # everything read back is nullable: dead-letter rows legitimately
+        # carry nulls in fields the FEED schema declares non-null (that
+        # is often exactly why they were dead-lettered)
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in self._schema.fields]
+            + [T.StructField(self.EPOCH_COL, T.LongType(), True)]
+        )
+        return spark.createDataFrame(pdf, out_schema)
+
+
 class ConsoleSink:
     """outputs/log.go analog: print each epoch's rows (debug only)."""
 

@@ -75,8 +75,15 @@ def run_stream(
         # events, inputs/docker-events.go:49-55; we keep them queryable).
         # Sink appends are epoch-keyed + overwrite: a crash between this
         # write and the epoch commit re-runs the batch, which overwrites
-        # the same output instead of appending duplicates.
-        sink.append(dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id)
+        # the same output instead of appending duplicates. Empty epochs
+        # skip the write entirely (one narrow early-exit probe beats a
+        # full write job + per-epoch sink object every epoch — dead rows
+        # are the exception, not the rule; the skip is deterministic, so
+        # replay converges either way).
+        if not dead.isEmpty():
+            sink.append(
+                dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
+            )
         stats.append(apply_changes(spark, valid, table, epoch_id, cfg))
 
     stream = read_feed_stream(
@@ -174,7 +181,7 @@ def run_entity_stream(
         # the lead's epoch marker (keeps the sink exactly-once); the split
         # itself is a cheap filter.
         valid, dead = _split(batch_df)
-        if not SnapshotTable(lead.path).has_epoch(epoch_id):
+        if not SnapshotTable(lead.path).has_epoch(epoch_id) and not dead.isEmpty():
             sink.append(
                 dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
             )

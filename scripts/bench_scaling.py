@@ -87,8 +87,59 @@ shutil.rmtree(base, ignore_errors=True)
 """
 
 
-def run(cpus: int, n_events: int) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_events=n_events)
+ENTITY_SNIPPET = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from qwatch_spark.session import get_spark
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.datagen import gen_entity_feed_df
+from qwatch_spark.operators.apply import apply_changes
+from qwatch_spark.datagen import gen_feed_df
+from qwatch_spark.operators.entities import apply_entity_changes, create_entity_tables
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+from qwatch_spark.queries import entity_graph_specs
+
+cpus = {cpus}
+n = {n_events}
+base = "/dev/shm/qwatch_scaling_ent_{cpus}"
+shutil.rmtree(base, ignore_errors=True)
+spark = get_spark(
+    master=f"local[{{cpus}}]", shuffle_partitions=cpus,
+    extra_conf={{
+        "spark.ui.showConsoleProgress": "false",
+        "spark.local.dir": f"{{base}}/spill",
+    }},
+)
+cfg = PipelineConfig(n_buckets=64, rules=(), write_mode="auto")
+specs, links = entity_graph_specs()
+
+for w in range(2):  # warmup (excluded): JIT tiering, codecs, codegen
+    wt = SnapshotTable.create(f"{{base}}/warm{{w}}", n_buckets=64)
+    warm = gen_feed_df(spark, 400_000, n_domains=2000, pages_per_domain=5000,
+                       num_partitions=cpus * 4).drop("epoch_hint")
+    apply_changes(spark, warm, wt, 0, cfg)
+    shutil.rmtree(f"{{base}}/warm{{w}}", ignore_errors=True)
+
+tables = create_entity_tables(f"{{base}}/t", specs, links, n_buckets=64)
+feed = gen_entity_feed_df(spark, n, n_domains=2000, pages_per_domain=5000,
+                          epoch_size=n // 2, num_partitions=cpus * 4)
+t0 = time.time()
+for e in range(2):
+    batch = feed.filter(feed.epoch_hint == e).drop("epoch_hint")
+    apply_entity_changes(spark, batch, specs, tables, e, links=links, cfg=cfg)
+wall = time.time() - t0
+rows = sum(t.read(spark).count() for t in tables.values())
+print("RESULT " + json.dumps({{"cpus": cpus, "events": n, "wall_sec": round(wall, 2),
+      "events_per_sec": round(n / wall, 1), "final_rows": rows, "epochs": 2}}))
+spark.stop()
+shutil.rmtree(base, ignore_errors=True)
+"""
+
+SNIPPETS = {"cdc": RUN_SNIPPET, "entity": ENTITY_SNIPPET}
+
+
+def run(cpus: int, n_events: int, job: str = "cdc") -> dict:
+    code = SNIPPETS[job].format(repo=REPO, cpus=cpus, n_events=n_events)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -102,6 +153,7 @@ def main() -> None:
     n_events = int(os.environ.get("QWATCH_SCALING_EVENTS", "8000000"))
     n_small = int(os.environ.get("QWATCH_SCALING_N", "1"))
     trials = int(os.environ.get("QWATCH_SCALING_TRIALS", "3"))
+    job = os.environ.get("QWATCH_SCALING_JOB", "cdc")  # cdc | entity
 
     # The host shows up to 3x run-to-run variance on IDENTICAL runs
     # (hypervisor co-tenancy; steal% reads 0 but wall time swings), so
@@ -109,8 +161,8 @@ def main() -> None:
     # wall time — the standard least-interference estimator.
     runs_a, runs_b = [], []
     for i in range(trials):
-        runs_a.append(run(n_small, n_events))
-        runs_b.append(run(n_small * 4, n_events))
+        runs_a.append(run(n_small, n_events, job))
+        runs_b.append(run(n_small * 4, n_events, job))
         print(f"trial {i}: A={runs_a[-1]['wall_sec']}s B={runs_b[-1]['wall_sec']}s",
               flush=True)
     a = min(runs_a, key=lambda r: r["wall_sec"])
@@ -118,6 +170,7 @@ def main() -> None:
     assert a["final_rows"] == b["final_rows"], "parallelism changed the result!"
     eff = (b["events_per_sec"] / a["events_per_sec"]) / 4
     result = {
+        "job": job,
         "run_a": a,
         "run_b": b,
         "all_walls_a": [r["wall_sec"] for r in runs_a],
@@ -133,7 +186,7 @@ def main() -> None:
     with open(f"{REPO}/BENCH/BASELINE.md", "a") as fh:
         fh.write(
             f"""
-## Scaling run {stamp}
+## Scaling run {stamp} — job: {job}
 
 Same deterministic feed ({n_events:,} events, 2 epochs, n_buckets=64,
 2000 domains x 5000 pages), same code; only `spark.master` + shuffle

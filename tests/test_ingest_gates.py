@@ -59,6 +59,70 @@ def test_exact_dup_gate_keeps_one_canonical_copy(spark, tmp_path):
     assert {r["url"]: r["warc_ts"] for r in live}["https://a.ex/1"] == TS(1)
 
 
+def test_exact_dup_gate_dedups_across_epochs(spark, tmp_path):
+    """The table-aware gate: identical content arriving in a LATER epoch
+    is anti-joined against the table's persisted fingerprints — the
+    per-batch gate alone could never catch this."""
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, [(1, "I", "https://a.ex/1", TS(1), GOOD, "en", "s")], 0)
+    apply(spark, t, [(2, "I", "https://a.ex/2", TS(2), GOOD, "en", "s")], 1)
+    apply(spark, t, [(3, "I", "https://a.ex/3", TS(3), GOOD2, "en", "s")], 2)
+    live = sorted(r["url"] for r in t.read(spark).collect())
+    assert live == ["https://a.ex/1", "https://a.ex/3"]
+
+
+def test_exact_dup_gate_replay_invariant_for_inorder_feed(spark, tmp_path):
+    """An in-order feed (warc_ts agrees with seq) replayed under three
+    different epochings must converge to the identical final table."""
+    rows = [
+        (1, "I", "https://a.ex/1", TS(1), GOOD, "en", "s"),
+        (2, "I", "https://a.ex/2", TS(2), GOOD, "en", "s"),   # dup of 1
+        (3, "I", "https://a.ex/3", TS(3), GOOD2, "en", "s"),
+        (4, "U", "https://a.ex/3", TS(4), GOOD2, "en", "s"),  # self-refresh
+        (5, "I", "https://a.ex/4", TS(5), GOOD, "en", "s"),   # dup of 1
+        (6, "D", "https://a.ex/2", TS(6), None, None, "s"),
+    ]
+
+    def replay(splits):
+        t = SnapshotTable.create(
+            str(tmp_path / f"t{len(splits)}_{splits[0]}"), n_buckets=4
+        )
+        lo = 0
+        for e, hi in enumerate(splits):
+            apply(spark, t, rows[lo:hi], e)
+            lo = hi
+        return sorted(
+            (r["url"], r["warc_ts"]) for r in t.read(spark).collect()
+        )
+
+    one = replay([6])
+    twos = replay([3, 6])
+    each = replay([1, 2, 3, 4, 5, 6])
+    assert one == twos == each
+
+
+def test_exact_dup_gate_live_fingerprints_unique_under_jitter(spark, tmp_path):
+    """Out-of-order arrivals: the canonical copy may differ by epoching
+    (documented), but the hard invariant holds at every commit point —
+    at most one LIVE row per content fingerprint."""
+    from pyspark.sql import functions as F
+
+    rows = [  # warc_ts deliberately disagrees with seq order
+        (1, "I", "https://a.ex/1", TS(9), GOOD, "en", "s"),
+        (2, "I", "https://a.ex/2", TS(2), GOOD, "en", "s"),
+        (3, "I", "https://a.ex/3", TS(7), GOOD2, "en", "s"),
+        (4, "I", "https://a.ex/4", TS(1), GOOD, "en", "s"),
+        (5, "U", "https://a.ex/3", TS(3), GOOD2, "en", "s"),
+    ]
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    for e, row in enumerate(rows):
+        apply(spark, t, [row], e)
+        live = t.read_buckets(spark, include_deleted=False)
+        fps = live.groupBy("_fp").count().filter(F.col("count") > 1).count()
+        assert fps == 0, f"duplicate live fingerprints after epoch {e}"
+    assert t.read(spark).count() == 2  # one row per distinct content
+
+
 def test_quality_gate_excludes_low_quality_pages(spark, tmp_path):
     t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
     rows = [

@@ -60,6 +60,51 @@ def test_stale_concurrent_writer_is_rejected(tmp_path):
     assert t1.has_epoch(1)
 
 
+def test_concurrent_writer_data_never_clobbered(spark, tmp_path):
+    """Two writers race one table with REAL data commits (both COW and
+    delta paths): version dirs are writer-unique, so the loser's abort
+    leaves the winner's committed files untouched, the loser's staging
+    dir is cleaned up, and the final state + lineage are exactly the
+    winner's — no orphaned-clobbered data, before or after vacuum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+
+    for mode in ("cow", "delta"):
+        path = str(tmp_path / f"t_{mode}")
+        cfg = PipelineConfig(n_buckets=4, write_mode=mode)
+        t1 = SnapshotTable.create(path, n_buckets=4)
+        feed0 = gen_feed_df(spark, 300).drop("epoch_hint")
+        apply_changes(spark, feed0, t1, 0, cfg)
+        t2 = SnapshotTable(path)  # writer B loads the manifest here
+        feed1 = (
+            gen_feed_df(spark, 600).filter(F.col("seq") >= 300).drop("epoch_hint")
+        )
+        apply_changes(spark, feed1, t1, 1, cfg)  # writer A wins epoch 1
+
+        def snap(t):
+            return sorted(
+                (r["url"], r["warc_ts"], r["seq"], r["is_deleted"])
+                for r in t.read_buckets(spark).collect()
+            )
+
+        won = snap(t1)
+        with pytest.raises(RuntimeError, match="concurrent writer|stale"):
+            apply_changes(spark, feed1, t2, 2, cfg)  # writer B loses
+        t3 = SnapshotTable(path)
+        assert snap(t3) == won  # winner's state intact, byte for byte
+        # loser cleaned up its own staging dir: every dir on disk is
+        # referenced or belongs to readable history, and vacuum + re-read
+        # still reproduces the winner's state
+        t3.vacuum()
+        assert snap(SnapshotTable(path)) == won
+        epochs = {r["epoch_id"] for r in t3.read_metrics(spark).collect()}
+        assert epochs == {0, 1}  # no lineage from the aborted writer
+
+
 def test_commit_log_backfilled_on_duplicate_delivery(spark, tmp_path):
     import shutil
 
@@ -80,6 +125,70 @@ def test_commit_log_backfilled_on_duplicate_delivery(spark, tmp_path):
     # and a second duplicate does not double-backfill
     apply_changes(spark, feed, t, 0, PipelineConfig(n_buckets=4))
     assert t.read_commit_log(spark).count() == 1
+
+
+def test_zone_map_prunes_files_on_time_predicate(spark, tmp_path):
+    """Delta epochs with disjoint warc_ts windows: a min_warc_ts read
+    must choose strictly fewer file paths (paths map 1:1 to file opens —
+    the object-store win) and return EXACTLY the rows of the unpruned
+    read + post-filter, including keys whose winner predates the cut."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.operators.apply import apply_changes
+
+    FEED = (
+        "seq long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, source string"
+    )
+    cfg = PipelineConfig(n_buckets=4, write_mode="delta", rules=())
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+
+    def rows(month, n=40):
+        return [
+            (
+                month * 1000 + i,
+                "U",
+                f"https://ex.com/u{i}",
+                dt.datetime(2024, month, 1 + i % 27),
+                b"<html>x</html>",
+                "en",
+                "s",
+            )
+            for i in range(n)
+        ]
+
+    apply_changes(spark, spark.createDataFrame(rows(1), FEED), t, 0, cfg)  # Jan
+    apply_changes(spark, spark.createDataFrame(rows(2), FEED), t, 1, cfg)  # Feb
+    apply_changes(spark, spark.createDataFrame(rows(3, n=10), FEED), t, 2, cfg)
+    t = SnapshotTable(t.path)
+    cut = dt.datetime(2024, 2, 15)
+
+    b_all, d_all = t._bucket_paths(None)
+    b_pr, d_pr = t._bucket_paths(None, min_warc_ts=cut)
+    assert len(b_pr) + len(d_pr) < len(b_all) + len(d_all)  # Jan files skipped
+
+    got = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_buckets(spark, min_warc_ts=cut).collect()
+    )
+    want = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_buckets(spark).filter(F.col("warc_ts") >= cut).collect()
+    )
+    assert got == want and got
+    # the CDF path prunes the same way with identical results
+    cdf = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_changes(spark, 0, min_warc_ts=cut).collect()
+    )
+    cdf_want = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_changes(spark, 0).filter(F.col("warc_ts") >= cut).collect()
+    )
+    assert cdf == cdf_want
 
 
 def test_dead_letter_exactly_once_on_redelivery(spark, tmp_path):

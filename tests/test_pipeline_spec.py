@@ -91,7 +91,8 @@ def test_manifest_swap_is_atomic_commit_point(spark, tmp_path):
     apply_changes(spark, feed, table, 0, CFG)
     m1 = json.load(open(os.path.join(table.path, "manifest.json")))
     entries = {b: SnapshotTable._bucket_entry(e) for b, e in m1["buckets"].items()}
-    assert {e["base"] for e in entries.values()} == {1}
+    # base tokens are writer-unique (v=1-<nonce>) but all name version 1
+    assert {str(e["base"]).split("-")[0] for e in entries.values()} == {"1"}
     for b, e in entries.items():
         for v in [e["base"], *e["deltas"]]:
             p = os.path.join(table.path, "data", f"v={v}", f"b={b}")

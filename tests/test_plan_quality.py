@@ -111,9 +111,14 @@ def _hint_subtrees(df):
 
 # a broadcast hint is legitimate only on relations whose size is bounded
 # by construction: the constant-size TPC-H dims (nation: 25 rows,
-# region: 5) or a derived side capped by a literal filter / LIMIT
+# region: 5) or a derived side capped by a literal key filter / LIMIT
 # (1-row query vectors, per-band query buckets, n_probe probe cells)
-_BOUNDED_MARKERS = ("n_nationkey", "r_regionkey", "vec_id = ", "GlobalLimit")
+_BOUNDED_PATTERNS = (
+    r"n_nationkey",
+    r"r_regionkey",
+    r"Filter \(vec_id#\d+L? = ",  # single query vector by literal id
+    r"GlobalLimit",
+)
 
 
 def test_no_unbounded_broadcast_hints_any_registry_query(spark):
@@ -121,9 +126,11 @@ def test_no_unbounded_broadcast_hints_any_registry_query(spark):
     grows with scale factor (customer, part, orders, documents, ...) is
     a driver OOM at 100× — only constant-size dims and literal-capped
     sides may carry hints. AQE handles everything else at runtime."""
+    import re
+
     for name, (fn, _sql) in q.REGISTRY.items():
         for sub in _hint_subtrees(fn(spark, SF)):
-            assert any(m in sub for m in _BOUNDED_MARKERS), (
+            assert any(re.search(p, sub) for p in _BOUNDED_PATTERNS), (
                 f"{name}: broadcast hint on an unbounded relation:\n{sub}"
             )
 
