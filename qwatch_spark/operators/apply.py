@@ -201,9 +201,11 @@ def apply_changes(
                     int((time.time() - t0) * 1000),
                 )
             t = time.time()
-            # one narrow job over the just-written (page-cached) files:
-            # batch size + per-bucket warc_ts range (the zone map readers
-            # use to skip this delta entirely on a time predicate)
+            # ONE narrow job over the just-written (page-cached) files
+            # serves three consumers: batch size, the per-bucket warc_ts
+            # zone map, AND the epoch's lineage metrics — every row in a
+            # delta dir carries last_epoch == this epoch, so the lineage
+            # scan the COW path needs is free here
             per_b = (
                 spark.read.parquet(out)
                 .groupBy("b")
@@ -211,6 +213,10 @@ def apply_changes(
                     F.count("*").alias("n"),
                     F.min("warc_ts").alias("lo"),
                     F.max("warc_ts").alias("hi"),
+                    F.count_if(F.col("last_op") == "U").alias("n_update"),
+                    F.count_if(F.col("last_op") == "D").alias("n_delete"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
                 )
                 .collect()
             )
@@ -220,6 +226,20 @@ def apply_changes(
                 for r in per_b
                 if r["lo"] is not None
             }
+            # I-vs-U classification needs a table lookup, so delta lineage
+            # records upserts as 'U' (deletes stay exact) — documented above
+            metrics_rows = [
+                {
+                    "epoch_id": int(epoch_id),
+                    "bucket": int(r["b"]),
+                    "n_insert": 0,
+                    "n_update": int(r["n_update"]),
+                    "n_delete": int(r["n_delete"]),
+                    "min_seq": r["min_seq"],
+                    "max_seq": r["max_seq"],
+                }
+                for r in per_b
+            ]
             table.commit_prewritten_delta(
                 touched, epoch_id, evolved_payload, new_version, vtoken, zmaps
             )
@@ -267,44 +287,43 @@ def apply_changes(
             table.commit_epoch(merged, touched, epoch_id, evolved_payload, zmaps)
             phases["merge_commit"] = time.time() - t
 
-        # lineage AFTER the commit point: recomputable, column-pruned scan
-        # of just-written files (bucket, last_op, seq only reach the scan)
+        # lineage AFTER the commit point: recomputable. The delta path
+        # derived metrics_rows inside its single stats job above; the COW
+        # path needs a column-pruned scan of the rewritten buckets
+        # (bucket, last_op, seq only reach the scan) because a rewritten
+        # bucket mixes this epoch's rows with carried-over history.
         t = time.time()
-        if use_delta:
-            from qwatch_spark.plans.snapshot_table import full_schema
-
-            written = spark.read.schema(full_schema(evolved_payload)).parquet(out)
-        else:
+        if not use_delta:
             written = table.read_buckets(
                 spark, touched, payload_schema=evolved_payload
             )
-        changed = written.filter(F.col("last_epoch") == int(epoch_id))
-        metrics = (
-            changed.withColumn("bucket", bucket_expr(table.n_buckets, key))
-            .groupBy("bucket")
-            .agg(
-                F.count_if(F.col("last_op") == "I").alias("n_insert"),
-                F.count_if(F.col("last_op") == "U").alias("n_update"),
-                F.count_if(F.col("last_op") == "D").alias("n_delete"),
-                F.min("seq").alias("min_seq"),
-                F.max("seq").alias("max_seq"),
+            changed = written.filter(F.col("last_epoch") == int(epoch_id))
+            metrics = (
+                changed.withColumn("bucket", bucket_expr(table.n_buckets, key))
+                .groupBy("bucket")
+                .agg(
+                    F.count_if(F.col("last_op") == "I").alias("n_insert"),
+                    F.count_if(F.col("last_op") == "U").alias("n_update"),
+                    F.count_if(F.col("last_op") == "D").alias("n_delete"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
+                )
+                .select(
+                    F.lit(int(epoch_id)).alias("epoch_id"),
+                    F.col("bucket"),
+                    "n_insert",
+                    "n_update",
+                    "n_delete",
+                    "min_seq",
+                    "max_seq",
+                )
             )
-            .select(
-                F.lit(int(epoch_id)).alias("epoch_id"),
-                F.col("bucket"),
-                "n_insert",
-                "n_update",
-                "n_delete",
-                "min_seq",
-                "max_seq",
-            )
-        )
-        metrics_rows = metrics.collect()
+            metrics_rows = [r.asDict() for r in metrics.collect()]
         table.append_metrics(spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
         phases["lineage"] = time.time() - t
 
-        n_up = sum(r.n_insert + r.n_update for r in metrics_rows)
-        n_del = sum(r.n_delete for r in metrics_rows)
+        n_up = sum(r["n_insert"] + r["n_update"] for r in metrics_rows)
+        n_del = sum(r["n_delete"] for r in metrics_rows)
         wall_ms = int((time.time() - t0) * 1000)
         table.append_commit_log(
             spark,

@@ -315,6 +315,27 @@ class SnapshotTable:
             df = df.filter(~F.col("is_deleted"))
         return df
 
+    def read_key(
+        self, spark: SparkSession, key_value, include_deleted: bool = False
+    ) -> DataFrame:
+        """Point lookup: the current row for one key, reading ONLY its
+        hash bucket (1/n_buckets of the table; at 100k buckets that is a
+        single ~1 GB bucket instead of 100 TB). The bucket is computed
+        with the same JVM xxhash64 the writer uses — via a 1-row local
+        job, so Python never re-implements the hash."""
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)
+                ).cast("int").alias("b")
+            )
+            .first()["b"]
+        )
+        return self.read_buckets(
+            spark, [int(b)], include_deleted=include_deleted
+        ).filter(F.col(self.key_col) == key_value)
+
     def read(self, spark: SparkSession, include_deleted: bool = False) -> DataFrame:
         """Current table state (live rows, payload columns only)."""
         df = self.read_buckets(spark, include_deleted=include_deleted)

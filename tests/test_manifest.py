@@ -127,6 +127,33 @@ def test_commit_log_backfilled_on_duplicate_delivery(spark, tmp_path):
     assert t.read_commit_log(spark).count() == 1
 
 
+def test_read_key_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """read_key must open only the key's hash bucket and agree with the
+    full-table filter, live and tombstoned."""
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    feed = gen_feed_df(spark, 400).drop("epoch_hint")
+    apply_changes(spark, feed, t, 0, PipelineConfig(n_buckets=8))
+    t = SnapshotTable(t.path)
+    url = t.read(spark).select("url").first()["url"]
+
+    got = t.read_key(spark, url).collect()
+    want = t.read_buckets(spark, include_deleted=False).filter(
+        f"url = '{url}'"
+    ).collect()
+    assert len(got) == 1 and got == want
+    # pruning: a single bucket's paths, not the table's
+    all_b, all_d = t._bucket_paths(None)
+    assert len(t._bucket_paths([0])[0]) + len(t._bucket_paths([0])[1]) < len(
+        all_b
+    ) + len(all_d)
+    # unknown key → empty, still single-bucket
+    assert t.read_key(spark, "https://nope.example.com/x").count() == 0
+
+
 def test_zone_map_prunes_files_on_time_predicate(spark, tmp_path):
     """Delta epochs with disjoint warc_ts windows: a min_warc_ts read
     must choose strictly fewer file paths (paths map 1:1 to file opens —
