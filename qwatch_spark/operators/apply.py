@@ -319,7 +319,7 @@ def apply_changes(
                 )
             )
             metrics_rows = [r.asDict() for r in metrics.collect()]
-        table.append_metrics(spark.createDataFrame(metrics_rows, METRICS_SCHEMA))
+        table.append_metrics(metrics_rows)
         phases["lineage"] = time.time() - t
 
         n_up = sum(r["n_insert"] + r["n_update"] for r in metrics_rows)

@@ -668,15 +668,53 @@ class SnapshotTable:
 
     # ---------- lineage / metrics ----------
 
-    def append_metrics(self, metrics_df: DataFrame) -> None:
-        metrics_df.write.mode("append").parquet(os.path.join(self.path, "metrics"))
+    @staticmethod
+    def _pa_type(dt_):
+        import pyarrow as pa
+
+        return {
+            "long": pa.int64(),
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "integer": pa.int32(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "boolean": pa.bool_(),
+            # tz-aware (isAdjustedToUTC) so Spark reads TIMESTAMP_LTZ,
+            # matching what its own writer produced; session is UTC-naive
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }[dt_.simpleString()]
+
+    def _append_rows(self, subdir: str, rows: list[dict], spark_schema) -> None:
+        """Append tiny bookkeeping rows as one parquet file written
+        DRIVER-SIDE via pyarrow — metrics and commit-log rows are a few
+        hundred bytes, and a full Spark write job per table per epoch
+        (plan + schedule + task + commit protocol) was a measurable part
+        of the per-epoch fixed cost. Spark reads the directory exactly as
+        before; files are uniquely named so appends never collide."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, subdir)
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema(
+            [(f.name, self._pa_type(f.dataType)) for f in spark_schema.fields]
+        )
+        cols = {f.name: [r.get(f.name) for r in rows] for f in spark_schema.fields}
+        pq.write_table(
+            pa.Table.from_pydict(cols, schema=schema),
+            os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+        )
+
+    def append_metrics(self, metrics_rows: list[dict]) -> None:
+        from qwatch_spark.schema import METRICS_SCHEMA
+
+        self._append_rows("metrics", metrics_rows, METRICS_SCHEMA)
 
     def append_commit_log(self, spark: SparkSession, row: dict) -> None:
         from qwatch_spark.schema import COMMIT_LOG_SCHEMA
 
-        spark.createDataFrame([row], COMMIT_LOG_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.path, "commit_log")
-        )
+        self._append_rows("commit_log", [row], COMMIT_LOG_SCHEMA)
 
     def ensure_commit_log_row(self, spark: SparkSession, epoch_id: int) -> bool:
         """Backfill a missing commit_log row for an applied epoch.

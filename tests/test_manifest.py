@@ -216,6 +216,15 @@ def test_zone_map_prunes_files_on_time_predicate(spark, tmp_path):
         for r in t.read_changes(spark, 0).filter(F.col("warc_ts") >= cut).collect()
     )
     assert cdf == cdf_want
+    # compaction folds the ranges (union, never understated): results
+    # after compact are identical, with or without the predicate
+    assert t.compact(spark, max_deltas=0)
+    t2 = SnapshotTable(t.path)
+    got2 = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t2.read_buckets(spark, min_warc_ts=cut).collect()
+    )
+    assert got2 == want
 
 
 def test_dead_letter_exactly_once_on_redelivery(spark, tmp_path):
