@@ -183,8 +183,18 @@ def apply_changes(
                 F.when(F.col("op") == "D", "D").otherwise("U").alias("last_op"),
                 F.lit(int(epoch_id)).alias("last_epoch"),
             ).withColumn("b", bucket_expr(table.n_buckets, key))
+            # hash-shuffle on "b" only needs each bucket's rows in ONE
+            # task (partitionBy still yields exactly one file per touched
+            # bucket); matching the shuffle width to the executor pool
+            # instead of n_buckets cuts the per-epoch task count ~5x —
+            # at high epoch rates the DAGScheduler (single-threaded) is
+            # the shared floor across concurrently-applying tables
+            k = min(
+                table.n_buckets,
+                max(8, spark.sparkContext.defaultParallelism * 3),
+            )
             (
-                snap.repartition(table.n_buckets, "b")
+                snap.repartition(k, "b")
                 .write.mode("overwrite")
                 .partitionBy("b")
                 .parquet(out)
