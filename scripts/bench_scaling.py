@@ -93,8 +93,6 @@ sys.path.insert(0, {repo!r})
 from qwatch_spark.session import get_spark
 from qwatch_spark.config import PipelineConfig
 from qwatch_spark.datagen import gen_entity_feed_df
-from qwatch_spark.operators.apply import apply_changes
-from qwatch_spark.datagen import gen_feed_df
 from qwatch_spark.operators.entities import apply_entity_changes, create_entity_tables
 from qwatch_spark.plans.snapshot_table import SnapshotTable
 from qwatch_spark.queries import entity_graph_specs
@@ -113,11 +111,16 @@ spark = get_spark(
 cfg = PipelineConfig(n_buckets=64, rules=(), write_mode="auto")
 specs, links = entity_graph_specs()
 
-for w in range(2):  # warmup (excluded): JIT tiering, codecs, codegen
-    wt = SnapshotTable.create(f"{{base}}/warm{{w}}", n_buckets=64)
-    warm = gen_feed_df(spark, 400_000, n_domains=2000, pages_per_domain=5000,
-                       num_partitions=cpus * 4).drop("epoch_hint")
-    apply_changes(spark, warm, wt, 0, cfg)
+# warmup (excluded): JIT tiering, codecs, codegen — MUST exercise the
+# same job shape as the measured run (entity routing + skeleton +
+# link-derivation plans have their own codegen/first-plan costs that a
+# single-table warmup would leave inside the measured window)
+for w in range(2):
+    wts = create_entity_tables(f"{{base}}/warm{{w}}", specs, links, n_buckets=64)
+    warm = gen_entity_feed_df(spark, 400_000, n_domains=2000,
+                              pages_per_domain=5000,
+                              num_partitions=cpus * 4).drop("epoch_hint")
+    apply_entity_changes(spark, warm, specs, wts, 0, links=links, cfg=cfg)
     shutil.rmtree(f"{{base}}/warm{{w}}", ignore_errors=True)
 
 tables = create_entity_tables(f"{{base}}/t", specs, links, n_buckets=64)
