@@ -55,6 +55,7 @@ from pyspark.sql import types as T
 from qwatch_spark.schema import PAGE_SCHEMA, schema_from_json
 
 MANIFEST = "manifest.json"
+COMMITS_DIR = "_commits"  # CAS protocol: put-if-absent commit log
 
 # engine bookkeeping columns stored alongside the payload in every file
 BOOKKEEPING_FIELDS = [
@@ -114,10 +115,16 @@ class SnapshotTable:
         n_buckets: int = 64,
         overwrite: bool = False,
         key_col: str = "url",
+        commit_protocol: str = "localfs",
     ) -> "SnapshotTable":
         payload_schema = payload_schema or PAGE_SCHEMA
         if key_col not in {f.name for f in payload_schema.fields}:
             raise ValueError(f"key_col {key_col!r} not in payload schema")
+        if commit_protocol not in ("localfs", "cas"):
+            raise ValueError(
+                f"unknown commit_protocol {commit_protocol!r} "
+                "(expected 'localfs' or 'cas')"
+            )
         if os.path.exists(os.path.join(path, MANIFEST)):
             if not overwrite:
                 return cls(path)
@@ -131,27 +138,84 @@ class SnapshotTable:
             "applied_epochs": [],
             "buckets": {},
         }
+        if commit_protocol == "cas":
+            manifest["commit_protocol"] = "cas"
         cls._write_manifest(path, manifest)
         return cls(path)
 
     def _load_manifest(self) -> dict:
         with open(os.path.join(self.path, MANIFEST)) as fh:
-            return json.load(fh)
+            manifest = json.load(fh)
+        if manifest.get("commit_protocol") != "cas":
+            return manifest
+        # CAS tables: the _commits log is authoritative, manifest.json is
+        # only a pointer cache. A writer that crashed after its CAS
+        # linearization (commit file created) but before the pointer swap
+        # leaves the pointer stale — heal forward to the newest commit.
+        cdir = os.path.join(self.path, COMMITS_DIR)
+        try:
+            top = max(
+                (
+                    int(f[2:-5])
+                    for f in os.listdir(cdir)
+                    if f.startswith("m=") and f.endswith(".json")
+                ),
+                default=-1,
+            )
+        except FileNotFoundError:
+            return manifest
+        if top > manifest.get("mutation", 0):
+            with open(os.path.join(cdir, f"m={top}.json")) as fh:
+                manifest = json.load(fh)
+            tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            os.replace(tmp, os.path.join(self.path, MANIFEST))
+        return manifest
 
     @staticmethod
     def _write_manifest(
         path: str, manifest: dict, expected_mutation: int | None = None
     ) -> None:
-        """Swap the manifest atomically. With `expected_mutation`, abort
-        if another writer committed since this writer loaded its base —
-        check-then-replace, so a small TOCTOU window remains: the design
-        assumes a single writer per table (the streaming runner), and
-        this guard turns the realistic stale-writer mistake (two jobs
-        pointed at one table) into a loud error instead of silent
-        committed-data loss. A true CAS needs the object-store
-        conditional-put adapter."""
+        """Swap the manifest atomically, under the table's commit protocol.
+
+        ``localfs`` (default): check-then-replace guarded by a mutation
+        counter — a small TOCTOU window remains, so the design assumes a
+        single writer per table (the streaming runner); the guard turns
+        the realistic stale-writer mistake (two jobs pointed at one
+        table) into a loud error instead of silent committed-data loss.
+
+        ``cas``: true compare-and-swap. The linearization point is an
+        atomic put-if-absent of ``_commits/m=<n>.json`` (``os.link``
+        fails EEXIST if mutation n was already committed) — the local-FS
+        analog of an object store's conditional put (S3 If-None-Match,
+        GCS x-goog-if-generation-match:0, Azure If-None-Match:*) and the
+        same protocol Delta Lake's HDFS LogStore uses. There is NO
+        check-then-act window: a racing writer loses at the create
+        itself regardless of interleaving, and ``manifest.json`` is just
+        a pointer cache healed forward by ``_load_manifest``. Porting to
+        a real object store swaps ``os.link`` for the store's
+        conditional put; nothing else changes."""
         target = os.path.join(path, MANIFEST)
-        if expected_mutation is not None and os.path.exists(target):
+        if manifest.get("commit_protocol") == "cas":
+            n = 0 if expected_mutation is None else expected_mutation + 1
+            manifest["mutation"] = n
+            cdir = os.path.join(path, COMMITS_DIR)
+            os.makedirs(cdir, exist_ok=True)
+            tmp = os.path.join(cdir, f".{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            try:
+                os.link(tmp, os.path.join(cdir, f"m={n}.json"))
+            except FileExistsError:
+                raise RuntimeError(
+                    f"concurrent writer detected on {path}: commit m={n} "
+                    "already exists (lost the CAS put-if-absent); "
+                    "aborting commit (no state was overwritten)"
+                ) from None
+            finally:
+                os.unlink(tmp)
+        elif expected_mutation is not None and os.path.exists(target):
             with open(target) as fh:
                 cur = json.load(fh)
             if cur.get("mutation", 0) != expected_mutation:
@@ -161,10 +225,10 @@ class SnapshotTable:
                     "aborting commit (no state was overwritten)"
                 )
             manifest["mutation"] = expected_mutation + 1
-        tmp = os.path.join(path, MANIFEST + ".tmp")
+        tmp = os.path.join(path, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.replace(tmp, target)  # atomic commit point
+        os.replace(tmp, target)  # atomic commit point (pointer, for cas)
         # manifest history → time travel (readable until vacuum drops the
         # data files an old manifest points to)
         hist = os.path.join(path, "manifests")
