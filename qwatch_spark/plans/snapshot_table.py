@@ -202,6 +202,29 @@ class SnapshotTable:
             manifest["mutation"] = n
             cdir = os.path.join(path, COMMITS_DIR)
             os.makedirs(cdir, exist_ok=True)
+            if expected_mutation is not None:
+                # rebase check (one LIST, same as Delta's LogStore): a
+                # writer whose base is behind the log's top must lose
+                # LOUDLY here — required because vacuum prunes commit
+                # files below top, so a long-stale writer's put-if-absent
+                # target slot may be free again. Writers passing this
+                # check target top+1, which vacuum never prunes, so the
+                # link below stays the true linearization point for the
+                # remaining check→link window.
+                top = max(
+                    (
+                        int(f[2:-5])
+                        for f in os.listdir(cdir)
+                        if f.startswith("m=") and f.endswith(".json")
+                    ),
+                    default=-1,
+                )
+                if top != expected_mutation:
+                    raise RuntimeError(
+                        f"concurrent writer detected on {path}: commit log "
+                        f"top m={top} != expected {expected_mutation}; "
+                        "aborting commit (no state was overwritten)"
+                    )
             tmp = os.path.join(cdir, f".{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -854,4 +877,17 @@ class SnapshotTable:
             if entry not in live:
                 shutil.rmtree(os.path.join(data, entry))
                 removed.append(entry)
+        # CAS commit log: only the highest mutation is authoritative
+        # (loads recover forward to max); older entries are dead weight
+        cdir = os.path.join(self.path, COMMITS_DIR)
+        if os.path.isdir(cdir):
+            top = self._manifest.get("mutation", 0)
+            for f in os.listdir(cdir):
+                if (
+                    f.startswith("m=")
+                    and f.endswith(".json")
+                    and int(f[2:-5]) < top
+                ):
+                    os.unlink(os.path.join(cdir, f))
+                    removed.append(f)
         return removed

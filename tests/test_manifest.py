@@ -303,7 +303,8 @@ def test_cas_rejects_racer_at_linearization_point(tmp_path):
         b.commit_empty_epoch(1)
     # stronger: winner's commit file exists but its pointer update never
     # landed (crashed mid-commit). The localfs pointer check would PASS
-    # here and silently bury the winner's commit; cas still rejects.
+    # here and silently bury the winner's commit; cas still rejects —
+    # first via the rebase check (log top moved past the base)...
     c = SnapshotTable(path)
     base = dict(c._manifest)
     crash = dict(base)
@@ -314,8 +315,48 @@ def test_cas_rejects_racer_at_linearization_point(tmp_path):
         json.dump(crash, fh)
     with pytest.raises(RuntimeError, match="concurrent writer"):
         c.commit_empty_epoch(2)
+    # ...and, in the race window where the winner's link lands BETWEEN
+    # this writer's LIST and its own link (simulated by serving c a
+    # stale listing), at the put-if-absent itself:
+    from unittest import mock
+
+    import qwatch_spark.plans.snapshot_table as st
+
+    real_listdir = os.listdir
+    crash_name = f"m={crash['mutation']}.json"
+
+    def stale_listdir(p):
+        out = real_listdir(p)
+        return [f for f in out if f != crash_name]
+
+    with mock.patch.object(st.os, "listdir", side_effect=stale_listdir):
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            c.commit_empty_epoch(2)
     # the buried commit is still recoverable by the next loader
     assert SnapshotTable(path)._manifest["mutation"] == crash["mutation"]
+
+
+def test_cas_vacuum_prunes_log_but_stale_writer_stays_rejected(tmp_path):
+    """vacuum drops commit files below the top mutation (only the max is
+    authoritative). A long-stale writer whose put-if-absent slot was
+    freed by that prune must STILL lose — the rebase check compares its
+    base against the log top before linking."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    stale = SnapshotTable(path)  # base mutation 0
+    for e in range(5):
+        t.commit_empty_epoch(e)
+    removed = t.vacuum()
+    cdir = os.path.join(path, "_commits")
+    left = [f for f in os.listdir(cdir) if f.startswith("m=")]
+    assert left == [f"m={t._manifest['mutation']}.json"]
+    assert any(f.startswith("m=") for f in removed)
+    # stale writer's slot m=1 is free again, but it is rejected loudly
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        stale.commit_empty_epoch(99)
+    assert not SnapshotTable(path).has_epoch(99)
 
 
 def test_cas_table_full_apply_path(spark, tmp_path):
