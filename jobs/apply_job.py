@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-salt", type=int, default=None)
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -57,13 +58,17 @@ def main(argv: list[str] | None = None) -> int:
         n_salt=args.n_salt,
         compact_every=args.compact_every,
         min_quality=args.min_quality,
+        commit_protocol=args.commit_protocol,
     )
 
     from pyspark.sql import SparkSession
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="qwatch_apply", master=args.master)
-    SnapshotTable.create(args.table, n_buckets=cfg.n_buckets)  # no-op if exists
+    SnapshotTable.create(
+        args.table, n_buckets=cfg.n_buckets,
+        commit_protocol=cfg.commit_protocol,
+    )  # no-op if exists
     stats = run_stream(
         spark,
         args.feed_dir,

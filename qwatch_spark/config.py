@@ -67,6 +67,11 @@ class PipelineConfig:
     # this many bytes on disk (None disables the byte trigger); bounds
     # read amplification in I/O terms when epochs are few but large
     compact_bytes: int | None = None
+    # manifest commit protocol for tables THIS pipeline creates:
+    #   localfs — atomic rename + mutation-counter guard (single writer)
+    #   cas     — put-if-absent commit log: safe under concurrent
+    #             writers on any store with a conditional put
+    commit_protocol: str = "localfs"
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]
@@ -78,6 +83,11 @@ class PipelineConfig:
             raise ValueError("n_buckets must be >= 1")
         if self.n_salt < 0:
             raise ValueError("n_salt must be >= 0")
+        if self.commit_protocol not in ("localfs", "cas"):
+            raise ValueError(
+                f"unknown commit_protocol {self.commit_protocol!r} "
+                "(expected 'localfs' or 'cas')"
+            )
         if self.write_mode not in ("cow", "delta", "auto"):
             raise ValueError(
                 f"write_mode must be cow|delta|auto, got {self.write_mode!r}"

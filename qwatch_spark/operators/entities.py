@@ -209,6 +209,7 @@ def create_entity_tables(
     links: list[LinkSpec] | None = None,
     n_buckets: int = 16,
     overwrite: bool = False,
+    commit_protocol: str = "localfs",
 ) -> dict[str, SnapshotTable]:
     """One SnapshotTable per entity (and per link table) under base_path."""
     tables = {}
@@ -219,6 +220,7 @@ def create_entity_tables(
             n_buckets=n_buckets,
             key_col=s.key_col,
             overwrite=overwrite,
+            commit_protocol=commit_protocol,
         )
     for lk in links or []:
         tables[lk.name] = SnapshotTable.create(
@@ -227,6 +229,7 @@ def create_entity_tables(
             n_buckets=n_buckets,
             key_col="link_id",
             overwrite=overwrite,
+            commit_protocol=commit_protocol,
         )
     return tables
 

@@ -143,7 +143,8 @@ def run_entity_stream(
 
     cfg = cfg or PipelineConfig(rules=())
     tables = create_entity_tables(
-        base_path, list(specs), list(links or []), n_buckets=cfg.n_buckets
+        base_path, list(specs), list(links or []), n_buckets=cfg.n_buckets,
+        commit_protocol=cfg.commit_protocol,
     )
     sink = dead_letter_sink or ParquetSink(os.path.join(base_path, "dead_letter"))
     if feed_schema is None:

@@ -379,3 +379,26 @@ def test_cas_table_full_apply_path(spark, tmp_path):
     t2 = SnapshotTable(path)
     assert t2.read(spark).count() == rows
     assert t2.version == t.version
+
+
+def test_commit_protocol_config_plumbing(tmp_path):
+    """PipelineConfig validates commit_protocol and create_entity_tables
+    propagates it to every entity and link table manifest."""
+    import pytest
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.operators.entities import create_entity_tables
+    from qwatch_spark.queries import entity_graph_specs
+
+    with pytest.raises(ValueError, match="commit_protocol"):
+        PipelineConfig(commit_protocol="s3")
+    assert PipelineConfig(commit_protocol="cas").commit_protocol == "cas"
+
+    specs, links = entity_graph_specs()
+    tables = create_entity_tables(
+        str(tmp_path / "g"), specs, links, n_buckets=4, commit_protocol="cas"
+    )
+    assert set(tables) == {"page", "domain", "page_domain"}
+    for t in tables.values():
+        assert t._manifest.get("commit_protocol") == "cas"
+        assert os.path.isdir(os.path.join(t.path, "_commits"))
