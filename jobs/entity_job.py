@@ -34,6 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", help="PipelineConfig file (.json/.yml/.yaml)")
     p.add_argument("--n-buckets", type=int, default=None)
     p.add_argument("--write-mode", choices=("cow", "delta", "auto"), default=None)
+    p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -48,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
 
     specs, links = load_entity_specs(args.entities)
     cfg = PipelineConfig.from_file(args.config) if args.config else PipelineConfig(rules=())
-    cfg = cfg.with_overrides(n_buckets=args.n_buckets, write_mode=args.write_mode)
+    cfg = cfg.with_overrides(
+        n_buckets=args.n_buckets,
+        write_mode=args.write_mode,
+        commit_protocol=args.commit_protocol,
+    )
 
     # explicit feed schema = envelope + union of declared payload columns;
     # cross-entity type conflicts on a shared column name are an error
