@@ -61,7 +61,13 @@ spark = get_spark(
         "spark.local.dir": f"{{base}}/spill",
     }},
 )
-cfg = PipelineConfig(n_buckets=64)
+# write_mode=auto is the 10^10-event scale path (merge-on-read deltas +
+# bounded compaction, apply cost O(batch), SCALING.md §3) — the mode a
+# 10^10-event replay would actually run in; the COW path rereads and
+# rewrites whole touched buckets each epoch, measuring a different job.
+# Identical at both parallelism levels either way. QWATCH_SCALING_MODE
+# overrides for A/B-ing the modes.
+cfg = PipelineConfig(n_buckets=64, write_mode={mode!r})
 
 # warmup epochs (excluded): C2 JIT tiering, codegen, parquet codecs,
 # python workers — measured cold/warm gap exceeds 3x
@@ -141,8 +147,8 @@ shutil.rmtree(base, ignore_errors=True)
 SNIPPETS = {"cdc": RUN_SNIPPET, "entity": ENTITY_SNIPPET}
 
 
-def run(cpus: int, n_events: int, job: str = "cdc") -> dict:
-    code = SNIPPETS[job].format(repo=REPO, cpus=cpus, n_events=n_events)
+def run(cpus: int, n_events: int, job: str = "cdc", mode: str = "auto") -> dict:
+    code = SNIPPETS[job].format(repo=REPO, cpus=cpus, n_events=n_events, mode=mode)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -157,6 +163,7 @@ def main() -> None:
     n_small = int(os.environ.get("QWATCH_SCALING_N", "1"))
     trials = int(os.environ.get("QWATCH_SCALING_TRIALS", "3"))
     job = os.environ.get("QWATCH_SCALING_JOB", "cdc")  # cdc | entity
+    mode = os.environ.get("QWATCH_SCALING_MODE", "auto")  # write_mode for cdc
 
     # The host shows up to 3x run-to-run variance on IDENTICAL runs
     # (hypervisor co-tenancy; steal% reads 0 but wall time swings), so
@@ -164,8 +171,8 @@ def main() -> None:
     # wall time — the standard least-interference estimator.
     runs_a, runs_b = [], []
     for i in range(trials):
-        runs_a.append(run(n_small, n_events, job))
-        runs_b.append(run(n_small * 4, n_events, job))
+        runs_a.append(run(n_small, n_events, job, mode))
+        runs_b.append(run(n_small * 4, n_events, job, mode))
         print(f"trial {i}: A={runs_a[-1]['wall_sec']}s B={runs_b[-1]['wall_sec']}s",
               flush=True)
     a = min(runs_a, key=lambda r: r["wall_sec"])
@@ -189,7 +196,7 @@ def main() -> None:
     with open(f"{REPO}/BENCH/BASELINE.md", "a") as fh:
         fh.write(
             f"""
-## Scaling run {stamp} — job: {job}
+## Scaling run {stamp} — job: {job} (write_mode={mode})
 
 Same deterministic feed ({n_events:,} events, 2 epochs, n_buckets=64,
 2000 domains x 5000 pages), same code; only `spark.master` + shuffle
