@@ -402,3 +402,50 @@ def test_commit_protocol_config_plumbing(tmp_path):
     for t in tables.values():
         assert t._manifest.get("commit_protocol") == "cas"
         assert os.path.isdir(os.path.join(t.path, "_commits"))
+
+
+def test_cas_threads_race_with_retry_no_lost_commits(tmp_path):
+    """8 threads race commit_empty_epoch on one cas table with the
+    optimistic-retry loop a real writer would use (reload + reapply on
+    ConcurrentWriter). Every epoch must land exactly once, the commit
+    log must be a gap-free mutation sequence, and the final manifest
+    must record all epochs — no lost or duplicated commit under real
+    thread interleaving."""
+    import threading
+
+    path = str(tmp_path / "t")
+    SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    epochs = list(range(24))
+    errors: list[Exception] = []
+
+    def worker(my_epochs):
+        for e in my_epochs:
+            for _attempt in range(200):
+                t = SnapshotTable(path)  # reload = rebase
+                try:
+                    t.commit_empty_epoch(e)
+                    break
+                except RuntimeError as exc:
+                    if "concurrent writer" not in str(exc):
+                        errors.append(exc)
+                        return
+            else:
+                errors.append(RuntimeError(f"epoch {e} never committed"))
+
+    threads = [
+        threading.Thread(target=worker, args=(epochs[i::8],)) for i in range(8)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    final = SnapshotTable(path)
+    assert all(final.has_epoch(e) for e in epochs)
+    # gap-free mutation history: m=0 (create) .. m=top all exist
+    logged = sorted(
+        int(f[2:-5])
+        for f in os.listdir(os.path.join(path, "_commits"))
+        if f.startswith("m=")
+    )
+    assert logged == list(range(final._manifest["mutation"] + 1))
