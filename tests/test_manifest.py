@@ -449,3 +449,116 @@ def test_cas_threads_race_with_retry_no_lost_commits(tmp_path):
         if f.startswith("m=")
     )
     assert logged == list(range(final._manifest["mutation"] + 1))
+
+
+def test_sharded_manifest_equivalent_state_and_bounded_commit_io(spark, tmp_path):
+    """A manifest_shards table must produce byte-identical state to an
+    inline twin across COW + delta epochs and compaction, while each
+    commit rewrites ONLY the dirty shards (bucket b lives in shard
+    b % n_shards) plus the small root — per-epoch manifest cost
+    O(touched), the 100k-bucket scale fix."""
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+
+    cfg = PipelineConfig(n_buckets=16, write_mode="auto", compact_every=1)
+    plain = SnapshotTable.create(str(tmp_path / "plain"), n_buckets=16)
+    shard = SnapshotTable.create(
+        str(tmp_path / "shard"), n_buckets=16, manifest_shards=4
+    )
+    feed = gen_feed_df(spark, 900, epoch_size=300)
+    for e in range(3):
+        batch = feed.filter(F.col("epoch_hint") == e).drop("epoch_hint")
+        apply_changes(spark, batch, plain, e, cfg)
+        apply_changes(spark, batch, shard, e, cfg)
+    assert SnapshotTable(shard.path).version > 1  # real multi-version run
+
+    def snap(t):
+        return sorted(
+            (r["url"], r["warc_ts"], r["seq"], r["is_deleted"])
+            for r in SnapshotTable(t.path).read_buckets(
+                spark, include_deleted=True
+            ).collect()
+        )
+
+    assert snap(shard) == snap(plain)
+    root = shard._manifest
+    assert "buckets" not in root and root["n_shards"] == 4
+    # root stays O(n_shards): pointer map only
+    assert len(root["shard_files"]) <= 4
+    # a reopened table agrees (shards load lazily from disk)
+    re = SnapshotTable(shard.path)
+    assert snap(re) == snap(plain)
+    # time travel reads historical shard pointers
+    v1 = SnapshotTable(shard.path).read_version(spark, 1).count()
+    p1 = SnapshotTable(plain.path).read_version(spark, 1).count()
+    assert v1 == p1
+    # vacuum prunes shard files unreferenced by the current root and
+    # state survives
+    before = set(os.listdir(os.path.join(shard.path, "manifest_shards")))
+    removed = SnapshotTable(shard.path).vacuum()
+    after = set(os.listdir(os.path.join(shard.path, "manifest_shards")))
+    assert after == set(SnapshotTable(shard.path)._manifest["shard_files"].values())
+    assert before - after  # something was actually pruned
+    assert snap(SnapshotTable(shard.path)) == snap(plain)
+
+
+def test_sharded_commit_writes_only_dirty_shards(spark, tmp_path):
+    """An epoch touching buckets in a single shard must write exactly
+    one new shard file, leaving the other shards' files untouched."""
+    import datetime as dt
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.operators.apply import apply_changes
+
+    FEED = (
+        "seq long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, source string"
+    )
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta", rules=())
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), n_buckets=8, manifest_shards=8
+    )
+    # one row -> exactly one bucket -> exactly one dirty shard
+    row = [(1, "U", "https://ex.com/one", dt.datetime(2024, 1, 1), b"<x>", "en", "s")]
+    apply_changes(spark, spark.createDataFrame(row, FEED), t, 0, cfg)
+    sdir = os.path.join(t.path, "manifest_shards")
+    files0 = set(os.listdir(sdir))
+    assert len(files0) == 1  # only the touched bucket's shard exists
+    row2 = [(2, "U", "https://ex.com/one", dt.datetime(2024, 1, 2), b"<y>", "en", "s")]
+    apply_changes(spark, spark.createDataFrame(row2, FEED), t, 1, cfg)
+    files1 = set(os.listdir(sdir))
+    # second epoch rewrote that one shard (new immutable file), nothing else
+    assert len(files1 - files0) == 1
+    assert SnapshotTable(t.path).read(spark).count() == 1
+
+
+def test_sharded_manifest_with_cas_protocol(spark, tmp_path):
+    """Sharding composes with the CAS commit protocol: a losing writer
+    deletes its own orphan shard files; the winner's state, shard files,
+    and lineage are intact."""
+    import pytest
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_feed_df
+    from qwatch_spark.operators.apply import apply_changes
+
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    path = str(tmp_path / "t")
+    a = SnapshotTable.create(
+        path, n_buckets=8, manifest_shards=4, commit_protocol="cas"
+    )
+    feed = gen_feed_df(spark, 300).drop("epoch_hint")
+    apply_changes(spark, feed, a, 0, cfg)
+    b = SnapshotTable(path)  # stale base
+    apply_changes(spark, feed.limit(50), a, 1, cfg)  # winner
+    won = sorted(r["url"] for r in a.read(spark).collect())
+    sdir = os.path.join(path, "manifest_shards")
+    winner_files = set(os.listdir(sdir))
+    with pytest.raises(RuntimeError, match="concurrent writer|stale"):
+        apply_changes(spark, feed.limit(50), b, 2, cfg)
+    # loser's orphan shard files were cleaned; winner's untouched
+    assert set(os.listdir(sdir)) == winner_files
+    assert sorted(r["url"] for r in SnapshotTable(path).read(spark).collect()) == won
