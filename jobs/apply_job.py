@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
+    p.add_argument("--manifest-shards", type=int, default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -59,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every,
         min_quality=args.min_quality,
         commit_protocol=args.commit_protocol,
+        manifest_shards=args.manifest_shards,
     )
 
     from pyspark.sql import SparkSession
@@ -68,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     SnapshotTable.create(
         args.table, n_buckets=cfg.n_buckets,
         commit_protocol=cfg.commit_protocol,
+        manifest_shards=cfg.manifest_shards,
     )  # no-op if exists
     stats = run_stream(
         spark,

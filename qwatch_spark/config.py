@@ -72,6 +72,10 @@ class PipelineConfig:
     #   cas     — put-if-absent commit log: safe under concurrent
     #             writers on any store with a conditional put
     commit_protocol: str = "localfs"
+    # shard the manifest's bucket entries into this many side files
+    # (None = inline). Size ≥ n_buckets/32 once n_buckets is large:
+    # per-epoch manifest cost becomes O(touched buckets)
+    manifest_shards: int | None = None
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]
@@ -87,6 +91,13 @@ class PipelineConfig:
             raise ValueError(
                 f"unknown commit_protocol {self.commit_protocol!r} "
                 "(expected 'localfs' or 'cas')"
+            )
+        if self.manifest_shards is not None and not (
+            1 <= self.manifest_shards <= self.n_buckets
+        ):
+            raise ValueError(
+                "manifest_shards must be in [1, n_buckets]; "
+                f"got {self.manifest_shards}"
             )
         if self.write_mode not in ("cow", "delta", "auto"):
             raise ValueError(

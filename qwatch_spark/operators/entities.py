@@ -210,6 +210,7 @@ def create_entity_tables(
     n_buckets: int = 16,
     overwrite: bool = False,
     commit_protocol: str = "localfs",
+    manifest_shards: int | None = None,
 ) -> dict[str, SnapshotTable]:
     """One SnapshotTable per entity (and per link table) under base_path."""
     tables = {}
@@ -221,6 +222,7 @@ def create_entity_tables(
             key_col=s.key_col,
             overwrite=overwrite,
             commit_protocol=commit_protocol,
+            manifest_shards=manifest_shards,
         )
     for lk in links or []:
         tables[lk.name] = SnapshotTable.create(
@@ -230,6 +232,7 @@ def create_entity_tables(
             key_col="link_id",
             overwrite=overwrite,
             commit_protocol=commit_protocol,
+            manifest_shards=manifest_shards,
         )
     return tables
 

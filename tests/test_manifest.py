@@ -394,13 +394,19 @@ def test_commit_protocol_config_plumbing(tmp_path):
         PipelineConfig(commit_protocol="s3")
     assert PipelineConfig(commit_protocol="cas").commit_protocol == "cas"
 
+    with pytest.raises(ValueError, match="manifest_shards"):
+        PipelineConfig(n_buckets=8, manifest_shards=9)
+
     specs, links = entity_graph_specs()
     tables = create_entity_tables(
-        str(tmp_path / "g"), specs, links, n_buckets=4, commit_protocol="cas"
+        str(tmp_path / "g"), specs, links, n_buckets=4, commit_protocol="cas",
+        manifest_shards=2,
     )
     assert set(tables) == {"page", "domain", "page_domain"}
     for t in tables.values():
         assert t._manifest.get("commit_protocol") == "cas"
+        assert t._manifest.get("n_shards") == 2
+        assert "buckets" not in t._manifest
         assert os.path.isdir(os.path.join(t.path, "_commits"))
 
 
