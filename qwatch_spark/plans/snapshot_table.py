@@ -361,15 +361,32 @@ class SnapshotTable:
         cache = getattr(self, "_shard_cache", None)
         if cache is None:
             cache = self._shard_cache = {}
-        for sid in sids:
+
+        def load(sid: int):
             fname = pointers.get(str(sid))
             if fname is None:
-                continue
+                return sid, None, None
             got = cache.get((sid, fname))
             if got is None:
                 with open(os.path.join(self.path, SHARDS_DIR, fname)) as fh:
                     got = json.load(fh)
-                cache[(sid, fname)] = got
+            return sid, fname, got
+
+        misses = [s for s in sids if (s, pointers.get(str(s))) not in cache]
+        if len(misses) > 8:
+            # bulk load (full-table read / compaction scan): shard files
+            # are independent small objects — fetch them concurrently, so
+            # a k=4096 table costs one parallel burst, not k serial GETs
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                loaded = list(ex.map(load, sids))
+        else:
+            loaded = [load(sid) for sid in sids]
+        for sid, fname, got in loaded:
+            if got is None:
+                continue
+            cache[(sid, fname)] = got
             out.update(got)
         return out
 
