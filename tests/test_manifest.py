@@ -568,3 +568,22 @@ def test_sharded_manifest_with_cas_protocol(spark, tmp_path):
     # loser's orphan shard files were cleaned; winner's untouched
     assert set(os.listdir(sdir)) == winner_files
     assert sorted(r["url"] for r in SnapshotTable(path).read(spark).collect()) == won
+
+
+def test_sharded_bulk_read_uses_parallel_loader_and_agrees(tmp_path):
+    """With >8 shards, a full bucket view takes the concurrent-load
+    branch; it must return exactly the union of all shard files."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, n_buckets=64, manifest_shards=16
+    )
+    updates = {
+        str(b): {"base": f"1-{b:02d}", "deltas": [], "z": {}} for b in range(64)
+    }
+    m = dict(t._manifest)
+    w = t._apply_bucket_updates(m, updates)
+    t._swap_or_cleanup(m, str(tmp_path / "nonexistent"), extra_paths=w)
+    fresh = SnapshotTable(t.path)  # cold cache -> 16 misses -> parallel
+    view = fresh._buckets_of(fresh._manifest)
+    assert view == updates
+    # and the single-shard path agrees for a point access
+    assert fresh._buckets_of(fresh._manifest, only=[7])["7"] == updates["7"]
