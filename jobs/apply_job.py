@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
     p.add_argument("--manifest-shards", type=int, default=None)
+    p.add_argument("--feed-format", choices=("parquet", "json"), default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -61,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         min_quality=args.min_quality,
         commit_protocol=args.commit_protocol,
         manifest_shards=args.manifest_shards,
+        feed_format=args.feed_format,
     )
 
     from pyspark.sql import SparkSession

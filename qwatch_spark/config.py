@@ -53,6 +53,10 @@ class PipelineConfig:
     rename_map: dict[str, str] = dataclasses.field(default_factory=dict)
     # bounded-run knob: max feed files per streaming micro-batch
     max_files_per_trigger: int = 16
+    # feed segment encoding: parquet (lake-native WAL) or json (JSONL —
+    # the reference's GELF push feed is JSON events; binary columns ride
+    # as base64, malformed lines are dead-lettered with the raw text)
+    feed_format: str = "parquet"
     # physical apply strategy:
     #   cow   — rewrite touched buckets each epoch (read-optimized)
     #   delta — merge-on-read: write only the epoch's updates, resolve at
@@ -91,6 +95,13 @@ class PipelineConfig:
             raise ValueError(
                 f"unknown commit_protocol {self.commit_protocol!r} "
                 "(expected 'localfs' or 'cas')"
+            )
+        from qwatch_spark.sources.feed import FEED_FORMATS
+
+        if self.feed_format not in FEED_FORMATS:
+            raise ValueError(
+                f"unknown feed_format {self.feed_format!r}; "
+                f"known: {FEED_FORMATS}"
             )
         if self.manifest_shards is not None and not (
             1 <= self.manifest_shards <= self.n_buckets

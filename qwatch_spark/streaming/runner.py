@@ -52,14 +52,19 @@ def run_stream(
     Dead rows flow through the append-sink protocol (qwatch_spark.sinks,
     the ES-output analog): default ParquetSink under the table dir; pass
     any Sink implementation to route them elsewhere."""
+    from qwatch_spark.sources.feed import CORRUPT_COL
+
     cfg = cfg or PipelineConfig()
     stats: list[ApplyStats] = []
     sink = dead_letter_sink or ParquetSink(os.path.join(table_path, "dead_letter"))
+    dead_fields = list(EVENT_SCHEMA.fields)
+    if cfg.feed_format == "json":
+        # decode failures keep their raw line in the dead-letter record
+        dead_fields.append(T.StructField(CORRUPT_COL, T.StringType(), True))
     sink.ddl(
         spark,
         T.StructType(
-            list(EVENT_SCHEMA.fields)
-            + [T.StructField("_dead_epoch", T.LongType(), True)]
+            dead_fields + [T.StructField("_dead_epoch", T.LongType(), True)]
         ),
     )
 
@@ -87,7 +92,8 @@ def run_stream(
         stats.append(apply_changes(spark, valid, table, epoch_id, cfg))
 
     stream = read_feed_stream(
-        spark, feed_dir, max_files_per_trigger=cfg.max_files_per_trigger
+        spark, feed_dir, max_files_per_trigger=cfg.max_files_per_trigger,
+        fmt=cfg.feed_format,
     )
     _drive(stream, _apply, checkpoint_dir, available_now, processing_time, timeout_sec)
     return stats

@@ -110,3 +110,62 @@ def test_dead_letter_written_by_runner(spark, tmp_path):
     assert [r["op"] for r in dead] == ["X"]
     table = SnapshotTable(table.path)  # reload manifest committed by the runner
     assert {r["url"] for r in table.read(spark).collect()} == {"https://ok.com/1"}
+
+
+def test_json_feed_format_end_to_end_with_decode_dead_letter(spark, tmp_path):
+    """A JSONL feed (the reference's GELF push events are JSON) streams
+    to the same final state as the identical events in parquet; binary
+    html rides as base64; malformed lines and invalid ops land in the
+    dead-letter sink, the decode failures carrying their raw line."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+    from qwatch_spark.schema import EVENT_SCHEMA
+    from qwatch_spark.streaming import run_stream
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA.fields]
+    )
+    rows = [
+        (1, "I", "https://ok.com/1", dt.datetime(2024, 1, 1), b"<p>one</p>", "en", "s", 0),
+        (2, "U", "https://ok.com/2", dt.datetime(2024, 1, 2), b"<p>two</p>", "en", "s", 0),
+        (3, "U", "https://ok.com/1", dt.datetime(2024, 1, 3), b"<p>one v2</p>", "en", "s", 0),
+        (4, "X", "https://ok.com/3", dt.datetime(2024, 1, 4), b"<p>bad op</p>", "en", "s", 0),
+        (5, "D", "https://ok.com/2", dt.datetime(2024, 1, 5), None, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, nullable).drop("epoch_hint").coalesce(1)
+
+    jdir, pdir = str(tmp_path / "jfeed"), str(tmp_path / "pfeed")
+    df.write.json(jdir)  # binary -> base64
+    df.write.parquet(pdir)
+    # a malformed line in its own segment file
+    with open(os.path.join(jdir, "part-corrupt.json"), "w") as fh:
+        fh.write('{"seq": 6, "op": "U", "url": "https://ok.com/4", not json\n')
+
+    cfg = PipelineConfig(n_buckets=4, feed_format="json")
+    jt = SnapshotTable.create(str(tmp_path / "jt"), n_buckets=4)
+    run_stream(spark, jdir, jt.path, str(tmp_path / "jckpt"), cfg)
+    pt = SnapshotTable.create(str(tmp_path / "pt"), n_buckets=4)
+    run_stream(spark, pdir, pt.path, str(tmp_path / "pckpt"), PipelineConfig(n_buckets=4))
+
+    def snap(t):
+        return sorted(
+            (r["url"], r["warc_ts"], r["seq"], r["is_deleted"], bytes(r["html"] or b""))
+            for r in SnapshotTable(t.path).read_buckets(
+                spark, include_deleted=True
+            ).collect()
+        )
+
+    assert snap(jt) == snap(pt)  # byte-identical incl. base64'd html
+    dead = spark.read.parquet(os.path.join(jt.path, "dead_letter")).collect()
+    ops = sorted((r["op"] or "?") for r in dead)
+    assert ops == ["?", "X"]  # decode failure (null op) + invalid op
+    raw = [r["_corrupt"] for r in dead if r["_corrupt"] is not None]
+    assert len(raw) == 1 and "not json" in raw[0]
+
+    with __import__("pytest").raises(ValueError, match="feed_format"):
+        PipelineConfig(feed_format="csv")
