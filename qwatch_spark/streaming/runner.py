@@ -158,11 +158,15 @@ def run_entity_stream(
         # never infer a streaming source schema: derive it from the specs
         # (same union + type-conflict check as jobs/entity_job.py)
         feed_schema = derive_feed_schema(list(specs), type_col=type_col)
+    from qwatch_spark.sources.feed import CORRUPT_COL
+
+    dead_fields = list(feed_schema.fields)
+    if cfg.feed_format == "json":
+        dead_fields.append(T.StructField(CORRUPT_COL, T.StringType(), True))
     sink.ddl(
         spark,
         T.StructType(
-            list(feed_schema.fields)
-            + [T.StructField("_dead_epoch", T.LongType(), True)]
+            dead_fields + [T.StructField("_dead_epoch", T.LongType(), True)]
         ),
     )
     stats: list[dict] = []
@@ -178,6 +182,12 @@ def run_entity_stream(
         )
         for s in specs:
             bad = bad | ((F.col(type_col) == s.name) & F.col(s.key_col).isNull())
+        if CORRUPT_COL in df.columns:
+            # JSON decode failures: raw line preserved on the dead side;
+            # the valid side must not route the bookkeeping column into
+            # the entity tables as an evolved payload column
+            bad = bad | F.col(CORRUPT_COL).isNotNull()
+            return df.filter(~bad).drop(CORRUPT_COL), df.filter(bad)
         return df.filter(~bad), df.filter(bad)
 
     def _apply(batch_df, epoch_id: int) -> None:
@@ -200,9 +210,12 @@ def run_entity_stream(
             )
         )
 
-    reader = spark.readStream.schema(feed_schema)
-    if cfg.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    stream = reader.parquet(feed_dir)
+    from qwatch_spark.sources.feed import read_feed_stream
+
+    stream = read_feed_stream(
+        spark, feed_dir, schema=feed_schema,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+        fmt=cfg.feed_format,
+    )
     _drive(stream, _apply, checkpoint_dir, available_now, processing_time, timeout_sec)
     return stats

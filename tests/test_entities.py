@@ -298,3 +298,54 @@ def test_entity_tables_time_travel(spark, tables):
     assert {r["registrar"] for r in t.read(spark).collect()} == {"reg-B"}
     old = t.read_version(spark, v1)
     assert {r["registrar"] for r in old.collect()} == {"reg-A"}
+
+
+def test_entity_stream_json_feed(spark, tmp_path):
+    """The entity stream speaks JSONL too: same routing/skeleton/link
+    results as the parquet form, decode failures dead-lettered with
+    their raw line and never routed into a table."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+    from qwatch_spark.streaming import run_entity_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("entity_type", T.StringType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("url", T.StringType(), True),
+            T.StructField("dom", T.StringType(), True),
+            T.StructField("registrar", T.StringType(), True),
+        ]
+    )
+    rows = [
+        ("page", "I", 1, TS(1), "u1", "d1", None),
+        ("domain", "I", 2, TS(1), None, "d2", "reg-X"),
+        ("page", "X", 3, TS(1), "u3", "d1", None),  # bad op
+    ]
+    feed_dir = str(tmp_path / "jfeed")
+    spark.createDataFrame(rows, schema).coalesce(1).write.json(feed_dir)
+    with open(os.path.join(feed_dir, "part-corrupt.json"), "w") as fh:
+        fh.write('{"entity_type": "page", "op": "I", broken\n')
+
+    base = str(tmp_path / "tables")
+    cfg = PipelineConfig(rules=(), n_buckets=4, feed_format="json")
+    run_entity_stream(
+        spark, feed_dir, base, str(tmp_path / "ck"),
+        [PAGE, DOMAIN], LINKS, cfg, feed_schema=schema,
+    )
+    pages = SnapshotTable(f"{base}/page").read(spark)
+    assert {r["url"] for r in pages.collect()} == {"u1"}
+    doms = SnapshotTable(f"{base}/domain").read(spark)
+    assert {r["dom"] for r in doms.collect()} == {"d1", "d2"}
+    # no _corrupt column leaked into any entity table
+    assert "_corrupt" not in pages.columns
+    dead = spark.read.parquet(os.path.join(base, "dead_letter")).collect()
+    assert len(dead) == 2  # bad op + decode failure
+    raw = [r["_corrupt"] for r in dead if r["_corrupt"] is not None]
+    assert len(raw) == 1 and "broken" in raw[0]
