@@ -176,7 +176,10 @@ def derive_feed_schema(
         "op": T.StructField("op", T.StringType(), True),
         "seq": T.StructField("seq", T.LongType(), True),
     }
-    owner: dict[str, str] = {}
+    # the envelope owns its names too: a spec payload column named op/seq/
+    # <type_col> at a different type must hit the conflict error below, not
+    # silently overwrite the envelope StructField and corrupt feed decode
+    owner: dict[str, str] = {name: "<envelope>" for name in fields}
     for s in specs:
         for f in s.payload_schema.fields:
             if f.name in owner:

@@ -126,18 +126,34 @@ def rule_exact_dup_gate(
     table = (ctx or {}).get("table")
     if table is not None and FP_COL in {f.name for f in table.payload_schema.fields}:
         key = table.key_col
+        # Cost note, stated honestly: this scans the WHOLE table's
+        # (key, _fp, order, is_deleted) columns each epoch — with
+        # `columns=` pruning the scan and merge-on-read shuffle carry
+        # ~50 bytes/row (never text/html), but per-epoch cost still grows
+        # with table row count, not batch size. Enabling this gate trades
+        # the delta path's O(batch) apply for cross-epoch exact dedup; at
+        # 10^10 rows budget a narrow-columns table pass per epoch, or run
+        # the gate on a coarser cadence than the apply.
         existing = (
-            table.read_buckets(ctx["spark"], include_deleted=False)
+            table.read_buckets(
+                ctx["spark"], include_deleted=False, columns=[FP_COL]
+            )
             .select(F.col(key).alias("_fp_owner"), FP_COL)
             .filter(F.col(FP_COL).isNotNull())
         )
         # live fingerprints are unique (gate invariant), so this left
-        # join matches at most one owner per row — no fan-out
-        kept = (
-            kept.join(existing, FP_COL, "left")
-            .filter(F.col("_fp_owner").isNull() | (F.col("_fp_owner") == F.col(key)))
-            .drop("_fp_owner")
-        )
+        # join matches at most one owner per row — no fan-out. Skip the
+        # table scan entirely when the batch has no non-delete survivors
+        # (fully-gated epochs are common; isEmpty probes one partition of
+        # the small batch vs a full narrow-columns table pass).
+        if not kept.isEmpty():
+            kept = (
+                kept.join(existing, FP_COL, "left")
+                .filter(
+                    F.col("_fp_owner").isNull() | (F.col("_fp_owner") == F.col(key))
+                )
+                .drop("_fp_owner")
+            )
     return kept.unionByName(dels)
 
 

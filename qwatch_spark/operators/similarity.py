@@ -249,42 +249,22 @@ def ann_topk_lsh(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
-def ivf_assign(
-    vectors: DataFrame,
-    n_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _assign_literal(
+    vectors: DataFrame, seeds: list[tuple[int, list[float]]], id_col: str, vec_col: str
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest seed cell.
-
-    Seeds are the vectors with the `n_cells` smallest ids — a
-    deterministic medoid-style quantizer (real IVF trains k-means; the
-    partition/probe plumbing and the cost model are identical, and
-    determinism keeps the operator exactly reproducible by a SQL
-    oracle). Assignment = a PER-ROW argmax over the seed list inlined as
-    literals (bounded driver-side collect of n_cells rows): the plan is
-    one narrow projection over the corpus scan — ZERO exchanges, the
-    embeddings never travel. Ties break toward the lower cell id via
-    lexicographic struct comparison on (sim, -cell). At very large
-    n_cells (√n cells at corpus scale) the same argmax moves into an
-    Arrow-batched pandas UDF over a broadcast seed matrix instead of
-    literal expressions — still no shuffle."""
-    seed_rows = (
-        vectors.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
-        .orderBy("_cell")
-        .collect()
-    )
+    """Argmax over seed cells inlined as literal expressions: one narrow
+    projection over the corpus scan, zero exchanges, decimal-exact sims
+    (SQL-oracle-reproducible). Ties break toward the lower cell id via
+    lexicographic struct comparison on (sim, -cell)."""
     cands = F.array(
         *[
             F.struct(
                 cosine_sim(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
                 ).alias("sim"),
-                F.lit(-int(r["_cell"])).alias("negcell"),
+                F.lit(-int(cell)).alias("negcell"),
             )
-            for r in seed_rows
+            for cell, vec in seeds
         ]
     )
     best = F.array_max(cands)
@@ -293,6 +273,107 @@ def ivf_assign(
         (-best["negcell"]).cast("long").alias("cell"),
         F.col(vec_col),
     )
+
+
+def _assign_pandas(
+    vectors: DataFrame, seeds: list[tuple[int, list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Argmax via an Arrow-batched pandas UDF over a broadcast seed
+    matrix — the large-n_cells path (the literal form would inline
+    n_cells × dim expression nodes and blow up analysis/codegen). Still
+    a single narrow projection: no exchange, embeddings never travel.
+    Sims are float64 rounded to 9 places (vs the literal path's decimal
+    sums — identical except at ties beyond 1e-9); np.argmax keeps the
+    FIRST max, i.e. the same lower-cell tie-break."""
+    cells = np.asarray([c for c, _ in seeds], dtype=np.int64)
+    mat = np.asarray([v for _, v in seeds], dtype=np.float64)
+    mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    spark = vectors.sparkSession
+    b = spark.sparkContext.broadcast((cells, mat))
+
+    @F.pandas_udf(T.LongType())
+    def _cell(emb: pd.Series) -> pd.Series:
+        cells_, mat_ = b.value
+        m = np.vstack(emb.map(lambda a: np.asarray(a, dtype=np.float64)))
+        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = np.round((m / norms) @ mat_.T, 9)
+        return pd.Series(cells_[np.argmax(sims, axis=1)])
+
+    return vectors.select(
+        F.col(id_col), _cell(F.col(vec_col)).alias("cell"), F.col(vec_col)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literals: int = 4096,
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest seed cell.
+
+    Seeds are the vectors with the `n_cells` smallest ids — a
+    deterministic medoid-style quantizer (real IVF trains k-means; the
+    partition/probe plumbing and the cost model are identical, and
+    determinism keeps the operator exactly reproducible by a SQL
+    oracle). Assignment is a per-row argmax over the seed set; while
+    n_cells × dim ≤ `max_literals` the seeds are inlined as literal
+    expressions (decimal-exact, zero exchanges); above that the argmax
+    moves into an Arrow-batched pandas UDF over a broadcast seed matrix
+    (still zero exchanges — at √n cells over 10⁹ vectors the literal
+    plan would carry millions of expression nodes and OOM the driver at
+    analysis time, so the UDF is the scale path, plan-tested
+    exchange-free).
+
+    `lloyd_iters > 0` refines the seeds with that many deterministic
+    Lloyd iterations before the final assignment: each iteration
+    reassigns, then recomputes every cell centroid as the per-dimension
+    mean of its members — sums in DECIMAL so the reduction is
+    partition-order-independent and the refinement is exactly
+    reproducible run to run. Empty cells keep their previous centroid.
+    Each iteration is one aggregation job collecting n_cells × dim
+    values (bounded)."""
+    seed_rows = (
+        vectors.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
+        .orderBy("_cell")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            f"ivf_assign: no seed vectors (no rows with {id_col} < {n_cells}); "
+            "the corpus is empty or ids do not start near 0"
+        )
+    seeds = [(int(r["_cell"]), list(r[vec_col])) for r in seed_rows]
+    dim = len(seeds[0][1])
+    assign = _assign_literal if n_cells * dim <= max_literals else _assign_pandas
+
+    for _ in range(lloyd_iters):
+        assigned = assign(vectors, seeds, id_col, vec_col)
+        # centroid = per-dimension mean over members; decimal sums make
+        # the float reduction associative → deterministic across runs
+        cent_rows = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
+                    / F.count("*")
+                ).alias("mean")
+            )
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "mean"))).alias("ms"))
+            .select("cell", F.col("ms.mean").alias("centroid"))
+            .collect()
+        )
+        new = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
+        seeds = [(c, new.get(c, v)) for c, v in seeds]
+
+    return assign(vectors, seeds, id_col, vec_col)
 
 
 def ivf_topk(

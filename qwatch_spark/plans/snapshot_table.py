@@ -386,6 +386,12 @@ class SnapshotTable:
         for sid, fname, got in loaded:
             if got is None:
                 continue
+            # evict superseded snapshots of the same shard: every commit
+            # repoints touched shards to a new fname, and a long-running
+            # streaming writer would otherwise accumulate stale entries
+            # without bound
+            for k in [k for k in cache if k[0] == sid and k[1] != fname]:
+                del cache[k]
             cache[(sid, fname)] = got
             out.update(got)
         return out
@@ -480,6 +486,7 @@ class SnapshotTable:
         payload_schema: T.StructType | None = None,
         include_deleted: bool = True,
         min_warc_ts=None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current resolved state of the chosen buckets (all if None).
 
@@ -492,7 +499,13 @@ class SnapshotTable:
         `min_warc_ts` returns only rows whose current warc_ts passes the
         predicate, zone-map-pruning whole files first (see
         `_bucket_paths`) and letting parquet row-group stats skip within
-        the files that remain."""
+        the files that remain.
+
+        `columns` prunes the row to key + order + is_deleted + the named
+        columns BEFORE the merge-on-read dedup — without it the dedup's
+        max_by(struct(*)) references every column and defeats parquet
+        column pruning, so a narrow consumer (e.g. the fingerprint gate's
+        (key, _fp) scan) would drag text/html through the shuffle."""
         schema = full_schema(payload_schema or self.payload_schema)
         base_paths, delta_paths = self._bucket_paths(buckets, min_warc_ts)
         paths = base_paths + delta_paths
@@ -500,6 +513,12 @@ class SnapshotTable:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
+        if columns is not None:
+            need = dict.fromkeys(
+                [self.key_col, "warc_ts", "seq", "last_epoch", "is_deleted", *columns]
+            )
+            df = df.select(*[c for c in need if c in df.columns])
+        if paths:
             if min_warc_ts is not None:
                 # pre-dedup filter is safe: the winner carries the key's
                 # max warc_ts, so filtering can never promote a loser
@@ -983,12 +1002,26 @@ class SnapshotTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_s: float = 600.0) -> list[str]:
         """Delete version dirs no longer referenced by any bucket pointer
         (base or delta) — including aborted concurrent writers' orphan
         staging dirs. Safe because the manifest swap is the only commit
         point. Tokens are compared as directory names (legacy plain-int
-        and writer-unique `N-<nonce>` forms alike)."""
+        and writer-unique `N-<nonce>` forms alike).
+
+        `retention_s` guards the CAS concurrent-writer window: a writer
+        stages its version dir and shard files BEFORE its put-if-absent
+        linearization, so an unreferenced-but-recent path may belong to a
+        commit in flight. Unreferenced paths younger than the retention
+        window are skipped (Delta Lake's retention-check policy); pass
+        retention_s=0 only when the caller holds exclusive access."""
+
+        def expired(p: str) -> bool:
+            try:
+                return (time.time() - os.path.getmtime(p)) >= retention_s
+            except OSError:
+                return False  # disappeared underneath us → someone owns it
+
         live: set[str] = set()
         for _b, e in self._entries(None):
             if e["base"] is not None:
@@ -999,7 +1032,7 @@ class SnapshotTable:
         for entry in os.listdir(data):
             if not entry.startswith("v="):
                 continue
-            if entry not in live:
+            if entry not in live and expired(os.path.join(data, entry)):
                 shutil.rmtree(os.path.join(data, entry))
                 removed.append(entry)
         # sharded manifests: shard files not referenced by the CURRENT
@@ -1009,7 +1042,11 @@ class SnapshotTable:
         if os.path.isdir(sdir):
             live_shards = set(self._manifest.get("shard_files", {}).values())
             for f in os.listdir(sdir):
-                if f.startswith("s=") and f not in live_shards:
+                if (
+                    f.startswith("s=")
+                    and f not in live_shards
+                    and expired(os.path.join(sdir, f))
+                ):
                     os.unlink(os.path.join(sdir, f))
                     removed.append(f)
         # CAS commit log: only the highest mutation is authoritative

@@ -152,6 +152,6 @@ def test_vacuum_keeps_state(spark, table):
     feed = gen_feed_df(spark, N)
     replay_feed(spark, feed, table, CFG)
     state = engine_state(spark, table)
-    removed = table.vacuum()
+    removed = table.vacuum(retention_s=0)
     assert removed  # old versions existed
     assert engine_state(spark, table) == state

@@ -109,7 +109,7 @@ def test_compact_and_vacuum_preserve_state(spark, tmp_path):
     compacted = table.compact(spark)
     assert compacted and not table.has_deltas()
     assert engine_state(spark, table) == state
-    removed = table.vacuum()
+    removed = table.vacuum(retention_s=0)
     assert removed
     assert engine_state(spark, table) == state
 
@@ -151,3 +151,23 @@ def test_compact_by_bytes_trigger(spark, tmp_path):
     t = SnapshotTable(t.path)
     assert not t.has_deltas()
     assert t.read(spark).count() == before  # maintenance-only
+
+
+def test_read_buckets_columns_pruning_matches_full_read(spark, tmp_path):
+    """`columns=` prunes the row BEFORE the merge-on-read dedup (so the
+    scan/shuffle never carries text/html) yet resolves the same winners
+    as the full read — exercised with live delta chains."""
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    replay_feed(spark, gen_feed_df(spark, N), table, cfg)
+    table = SnapshotTable(table.path)
+    assert table.has_deltas()
+    narrow = table.read_buckets(spark, include_deleted=False, columns=["lang"])
+    assert set(narrow.columns) == {"url", "warc_ts", "seq", "last_epoch", "is_deleted", "lang"}
+    full = table.read_buckets(spark, include_deleted=False)
+    want = {(r["url"], r["warc_ts"], r["lang"]) for r in full.collect()}
+    got = {(r["url"], r["warc_ts"], r["lang"]) for r in narrow.collect()}
+    assert got == want
+    # the pruned plan's parquet scan must not read html/text
+    sc = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in sc

@@ -349,3 +349,36 @@ def test_entity_stream_json_feed(spark, tmp_path):
     assert len(dead) == 2  # bad op + decode failure
     raw = [r["_corrupt"] for r in dead if r["_corrupt"] is not None]
     assert len(raw) == 1 and "broken" in raw[0]
+
+
+def test_feed_schema_envelope_collision_raises():
+    """A spec payload column named op/seq/entity_type at a non-envelope
+    type must raise, not silently overwrite the envelope StructField
+    (which would corrupt feed decode for every entity)."""
+    from qwatch_spark.operators.entities import derive_feed_schema
+
+    bad = EntitySpec(
+        "gadget",
+        "gid",
+        T.StructType(
+            [
+                T.StructField("gid", T.StringType(), False),
+                T.StructField("seq", T.StringType(), True),  # envelope seq is long
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="'<envelope>'"):
+        derive_feed_schema([PAGE, bad])
+    # same-typed shared names remain fine (no-op against the envelope)
+    ok = EntitySpec(
+        "widget",
+        "wid",
+        T.StructType(
+            [
+                T.StructField("wid", T.StringType(), False),
+                T.StructField("seq", T.LongType(), True),
+            ]
+        ),
+    )
+    s = derive_feed_schema([PAGE, ok])
+    assert s["seq"].dataType == T.LongType()

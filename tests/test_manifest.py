@@ -99,7 +99,7 @@ def test_concurrent_writer_data_never_clobbered(spark, tmp_path):
         # loser cleaned up its own staging dir: every dir on disk is
         # referenced or belongs to readable history, and vacuum + re-read
         # still reproduces the winner's state
-        t3.vacuum()
+        t3.vacuum(retention_s=0)
         assert snap(SnapshotTable(path)) == won
         epochs = {r["epoch_id"] for r in t3.read_metrics(spark).collect()}
         assert epochs == {0, 1}  # no lineage from the aborted writer
@@ -348,7 +348,7 @@ def test_cas_vacuum_prunes_log_but_stale_writer_stays_rejected(tmp_path):
     stale = SnapshotTable(path)  # base mutation 0
     for e in range(5):
         t.commit_empty_epoch(e)
-    removed = t.vacuum()
+    removed = t.vacuum(retention_s=0)
     cdir = os.path.join(path, "_commits")
     left = [f for f in os.listdir(cdir) if f.startswith("m=")]
     assert left == [f"m={t._manifest['mutation']}.json"]
@@ -504,7 +504,7 @@ def test_sharded_manifest_equivalent_state_and_bounded_commit_io(spark, tmp_path
     # vacuum prunes shard files unreferenced by the current root and
     # state survives
     before = set(os.listdir(os.path.join(shard.path, "manifest_shards")))
-    removed = SnapshotTable(shard.path).vacuum()
+    removed = SnapshotTable(shard.path).vacuum(retention_s=0)
     after = set(os.listdir(os.path.join(shard.path, "manifest_shards")))
     assert after == set(SnapshotTable(shard.path)._manifest["shard_files"].values())
     assert before - after  # something was actually pruned
@@ -587,3 +587,42 @@ def test_sharded_bulk_read_uses_parallel_loader_and_agrees(tmp_path):
     assert view == updates
     # and the single-shard path agrees for a point access
     assert fresh._buckets_of(fresh._manifest, only=[7])["7"] == updates["7"]
+
+
+def test_vacuum_retention_protects_inflight_staged_files(tmp_path):
+    """A CAS writer stages its version dir and shard files BEFORE its
+    put-if-absent linearization — vacuum under the default retention
+    window must NOT delete young unreferenced paths (they may belong to
+    a commit in flight); retention_s=0 (exclusive access) removes them."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, n_buckets=4, commit_protocol="cas"
+    )
+    t.commit_empty_epoch(0)
+    staged = os.path.join(t.path, "data", "v=99-deadbeef")
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "w").close()
+    # young orphan survives the default window (commit-log pruning below
+    # the top mutation is always safe and unrelated to retention)
+    assert "v=99-deadbeef" not in t.vacuum()
+    assert os.path.isdir(staged)
+    assert "v=99-deadbeef" in t.vacuum(retention_s=0)
+    assert not os.path.isdir(staged)
+
+
+def test_shard_cache_evicts_superseded_snapshots(tmp_path):
+    """Each commit repoints touched shards to a new fname; the reader
+    cache must drop the superseded (sid, old_fname) entries so a
+    long-running writer doesn't accumulate stale shard snapshots."""
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), SCHEMA, n_buckets=8, manifest_shards=2
+    )
+    for e in range(6):
+        # touch bucket entries via the update path used by commits
+        m = dict(t._manifest)
+        m["version"] = t.version + 1
+        t._apply_bucket_updates(m, {"0": {"base": str(e), "deltas": [], "z": {}}})
+        t._write_manifest(t.path, m, expected_mutation=t._manifest.get("mutation", 0))
+        t._manifest = m
+        t._buckets_of(t._manifest)  # reader load populates the cache
+    sids = [k[0] for k in t._shard_cache]
+    assert len(sids) == len(set(sids)), f"stale shard snapshots: {sorted(t._shard_cache)}"

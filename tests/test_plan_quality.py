@@ -176,3 +176,17 @@ def test_no_python_udf_in_jvm_paths(spark):
             continue
         p = plan(fn(spark, SF))
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
+
+
+def test_ivf_pandas_fallback_is_shuffle_free(spark):
+    """Above max_literals the assignment runs as an Arrow-batched pandas
+    UDF over a broadcast seed matrix — still one narrow projection, no
+    Exchange, no Join; ArrowEvalPython (vectorized), never
+    BatchEvalPython (row-at-a-time)."""
+    from qwatch_spark.operators.similarity import ivf_assign
+
+    vecs = q.ld(spark, SF, "embeddings")
+    p = plan(ivf_assign(vecs, n_cells=4, max_literals=1))
+    assert "Exchange" not in p, f"pandas ivf_assign introduced a shuffle:\n{p}"
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p

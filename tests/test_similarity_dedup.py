@@ -176,3 +176,34 @@ def test_lsh_selectivity_on_realistic_vocab(spark):
         for r in near_dup_pairs(docs, threshold=0.8).collect()
     }
     assert caught <= found
+
+
+def test_ivf_pandas_path_matches_literal(emb):
+    """Above the literal budget the argmax moves into the Arrow-batched
+    pandas UDF over a broadcast seed matrix — same cells as the literal
+    path (decimal-vs-float64 differ only at ties beyond 1e-9; the
+    fixture has none)."""
+    lit = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=8).collect()}
+    pdu = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, n_cells=8, max_literals=1).collect()
+    }
+    assert lit == pdu
+
+
+def test_ivf_empty_seed_set_raises(emb):
+    with pytest.raises(ValueError, match="no seed vectors"):
+        ivf_assign(emb.filter(F.col("vec_id") < 0), n_cells=8).collect()
+
+
+def test_ivf_lloyd_refinement_deterministic(emb):
+    """Lloyd iterations refine centroids but keep the quantizer total
+    (every vector assigned) and deterministic (decimal centroid sums →
+    identical assignment across runs)."""
+    n = emb.count()
+    a1 = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=8, lloyd_iters=2).collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=8, lloyd_iters=2).collect()}
+    assert len(a1) == n and a1 == a2
+    # refinement should actually move assignments off the medoid seeding
+    a0 = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=8).collect()}
+    assert a1 != a0

@@ -52,7 +52,7 @@ def test_vacuum_ends_time_travel_but_not_current(spark, tmp_path):
     table = SnapshotTable(table.path)
     current = state_of(table.read(spark))
     old_v = 1  # first epoch's commit: has data files that vacuum removes
-    table.vacuum()
+    table.vacuum(retention_s=0)
     assert state_of(table.read(spark)) == current
     # the old version's data files are gone: reading it fails loudly
     with pytest.raises(Exception):
