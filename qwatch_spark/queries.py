@@ -219,34 +219,31 @@ FROM part
 """
 
 
-def q09_format_string(spark, sf_dir):
-    """P6: Sprintf-style padded formatting + rtrim."""
-    sup = ld(spark, sf_dir, "supplier")
-    return sup.select(
-        "s_suppkey",
-        F.rtrim(F.format_string("supp:%-24s#", F.col("s_name"))).alias("label"),
-    )
-
-
-SQL_FORMAT_STRING = """
-SELECT s_suppkey, rtrim(printf('supp:%-24s#', s_name)) AS label FROM supplier
-"""
-
-
-def q10_trim_filter(spark, sf_dir):
-    """P8: name trim + sentinel filter (the '<none>:<none>' analog)."""
+def q09_scalar_string_funcs(spark, sf_dir):
+    """P5/P6/P8 in one query (registry consolidation, round 4): sentinel
+    filter (the '<none>:<none>' analog), regexp name trim, and
+    Sprintf-style padded formatting + rtrim — the scalar string-function
+    family the reference spreads over String()/Sprintf/TrimSpace
+    (/root/reference/inputs/gelf.go:83-101, outputs/neo4j.go:198-205)."""
     docs = ld(spark, sf_dir, "documents")
     return (
         docs.filter(F.col("source") != "src0")
-        .select(F.regexp_replace("source", "^src", "").alias("source_id"))
-        .groupBy("source_id")
+        .groupBy(F.regexp_replace("source", "^src", "").alias("source_id"))
         .agg(F.count("*").alias("n_docs"))
+        .select(
+            "source_id",
+            F.rtrim(F.format_string("src %-8s", F.col("source_id"))).alias("label"),
+            "n_docs",
+        )
     )
 
 
-SQL_TRIM_FILTER = """
-SELECT regexp_replace(source, '^src', '') AS source_id, count(*) AS n_docs
-FROM documents WHERE source <> 'src0' GROUP BY 1
+SQL_SCALAR_STRING = """
+SELECT source_id, rtrim(printf('src %-8s', source_id)) AS label, n_docs
+FROM (
+  SELECT regexp_replace(source, '^src', '') AS source_id, count(*) AS n_docs
+  FROM documents WHERE source <> 'src0' GROUP BY 1
+) t
 """
 
 
@@ -1491,15 +1488,13 @@ GROUP BY d.dom, d.registrar, l.n_linked_pages
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_dedup_latest": (q01_dedup_latest, SQL_DEDUP_LATEST),
-    "q02_dedup_latest_salted": (q02_dedup_latest_salted, SQL_DEDUP_LATEST),
     "q03_cdc_final_state": (q03_cdc_final_state, SQL_CDC_FINAL_STATE),
     "q04_filter_router": (q04_filter_router, SQL_FILTER_ROUTER),
     "q05_project_envelope": (q05_project_envelope, SQL_PROJECT_ENVELOPE),
     "q06_json_attr_extract": (q06_json_attr_extract, SQL_JSON_ATTR_EXTRACT),
     "q07_nested_struct_roundtrip": (q07_nested_struct_roundtrip, SQL_NESTED_STRUCT),
     "q08_parse_parts": (q08_parse_parts, SQL_PARSE_PARTS),
-    "q09_format_string": (q09_format_string, SQL_FORMAT_STRING),
-    "q10_trim_filter": (q10_trim_filter, SQL_TRIM_FILTER),
+    "q09_scalar_string_funcs": (q09_scalar_string_funcs, SQL_SCALAR_STRING),
     "q11_fk_broadcast_join": (q11_fk_broadcast_join, SQL_FK_BROADCAST_JOIN),
     "q12_join_chain": (q12_join_chain, SQL_JOIN_CHAIN),
     "q13_two_key_pair_join": (q13_two_key_pair_join, SQL_TWO_KEY_PAIR_JOIN),
@@ -1535,16 +1530,33 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q43_pivot": (q43_pivot, SQL_PIVOT),
     "q44_percentiles": (q44_percentiles, SQL_PERCENTILES),
     "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
-    "q46_minhash_char_shingles": (q46_minhash_char_shingles, SQL_MINHASH_CHAR),
     "q47_tfidf": (q47_tfidf, SQL_TFIDF),
     "q48_intersect_keys": (q48_intersect_keys, SQL_INTERSECT_KEYS),
-    "q49_rollup": (q49_rollup, SQL_ROLLUP),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
     "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
     "q53_winnow_fingerprints": (q53_winnow_fingerprints, SQL_WINNOW),
     "q54_local_supplier_volume": (q54_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
 }
+
+
+# Registry consolidation (round 4): the driver's correctness gate windows
+# the FIRST 50 entries, so REGISTRY is capped at 50 — one slot per distinct
+# operator family. Redundant variants live here instead: still implemented,
+# still value-checked against their DuckDB oracles every pytest run
+# (tests/test_entry_queries.py parametrizes over RETIRED_REGISTRY), just
+# not spending driver-window slots a flagship operator needs.
+RETIRED_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # q01 via the explicit two-phase salted path (skew handling) — same
+    # oracle as q01 by construction
+    "q02_dedup_latest_salted": (q02_dedup_latest_salted, SQL_DEDUP_LATEST),
+    # q27 with character trigram shingles instead of words
+    "q46_minhash_char_shingles": (q46_minhash_char_shingles, SQL_MINHASH_CHAR),
+    # grouping-sets family already driver-covered by q42's CUBE
+    "q49_rollup": (q49_rollup, SQL_ROLLUP),
+}
+
+assert len(REGISTRY) <= 50, f"driver window is 50; registry has {len(REGISTRY)}"
 
 
 def queries() -> dict[str, QueryFn]:

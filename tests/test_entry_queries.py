@@ -38,18 +38,30 @@ def normalize(rows, columns):
     return sorted(out, key=lambda r: tuple(key(v) for v in r))
 
 
+from qwatch_spark.queries import RETIRED_REGISTRY
+
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+# retired variants (registry consolidated to the driver's 50-slot window)
+# keep full value-vs-oracle coverage here in pytest
+RETIRED_Q = {n: fn for n, (fn, _) in RETIRED_REGISTRY.items()}
+RETIRED_O = {n: sql for n, (_, sql) in RETIRED_REGISTRY.items() if sql}
+ALL_Q = {**QUERIES, **RETIRED_Q}
+ALL_O = {**ORACLES, **RETIRED_O}
 
 
-@pytest.mark.parametrize("name", [n for n in QUERIES if n in ORACLES])
+def test_registry_fits_driver_window():
+    assert len(QUERIES) <= 50
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_Q if n in ALL_O])
 def test_query_matches_oracle(spark, name):
-    sdf = QUERIES[name](spark, SF_DIR)
+    sdf = ALL_Q[name](spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connection()
-    res = con.execute(ORACLES[name])
+    res = con.execute(ALL_O[name])
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     con.close()
