@@ -4,10 +4,19 @@ Headline metric: end-to-end CDC apply throughput (change-events/sec) on a
 deterministic generated feed (BASELINE.json), plus wall-time for a set of
 headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
+Noise protocol: the host shows up to 3-5x wall variance on identical runs
+(hypervisor co-tenancy; BENCH/BASELINE.md). The cdc/stream/entity trials
+are therefore INTERLEAVED round-robin (cdc, stream, entity, cdc, ...) for
+QWATCH_BENCH_TRIALS rounds (default 3) and each bench reports best-of-N
+plus the full trial list — a single noisy window hits one trial of each
+bench instead of every trial of one bench. Same protocol as the scaling
+studies in scripts/bench_scaling.py.
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  QWATCH_BENCH_EVENTS  CDC feed size (default 1_000_000)
+  QWATCH_BENCH_EVENTS  CDC feed size (default 2_000_000)
+  QWATCH_BENCH_TRIALS  interleaved trials per bench (default 3)
 
 Queries are forced with the noop sink (full materialization, no collect).
 """
@@ -16,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -75,159 +85,182 @@ def _sum_phases(stats) -> dict:
     return agg
 
 
-def bench_cdc_apply(spark, n_events: int, cpus: int) -> dict:
-    from qwatch_spark.operators.apply import apply_changes
-
-    # auto = merge-on-read deltas + bounded compaction: the scale path
-    # (apply cost O(batch), not O(table)); correctness vs cow and the
-    # oracle is pytest-gated (tests/test_delta_mode.py)
-    cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto")
-    tmp = tempfile.mkdtemp(prefix="qwatch_bench_", dir=_fast_dir())
-    # warmup epoch (excluded): C2 JIT tiering + codecs + python workers
-    wt = SnapshotTable.create(f"{tmp}/warm", n_buckets=cfg.n_buckets)
-    warm = gen_feed_df(spark, 100_000, num_partitions=cpus * 2).drop("epoch_hint")
-    apply_changes(spark, warm, wt, 0, cfg)
-
-    feed = gen_feed_df(
-        spark,
-        n_events,
-        n_domains=2000,
-        pages_per_domain=5000,
-        epoch_size=max(1, n_events // 2),
-        num_partitions=cpus * 2,
-    )
-    # best of 2 trials: the host shows up to 3x wall variance on identical
-    # runs (hypervisor co-tenancy) — min wall is the least-interference
-    # estimate of the engine's throughput
-    walls, trial_stats, table = [], [], None
-    for trial in range(2):
-        table = SnapshotTable.create(
-            f"{tmp}/table{trial}", n_buckets=cfg.n_buckets
-        )
-        t0 = time.time()
-        trial_stats.append(replay_feed(spark, feed, table, cfg))
-        walls.append(time.time() - t0)
-    best = walls.index(min(walls))
-    wall = walls[best]
-    stats = trial_stats[best]
-    out = {
-        "cdc_events": n_events,
-        "cdc_wall_sec": round(wall, 3),
-        "cdc_wall_sec_trials": [round(w, 3) for w in walls],
-        "cdc_events_per_sec": round(n_events / wall, 1),
-        "cdc_epochs": len(stats),
-        "cdc_phases": _sum_phases(stats),
-        "cdc_final_rows": table.read(spark).count(),
-    }
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
-
-
-def bench_stream(spark, n_events: int, cpus: int) -> dict:
-    """Streaming-path trial: the same CDC apply driven through the
-    Structured Streaming runner (file source → foreachBatch →
-    exactly-once epoch commits), so checkpointing + trigger overhead is
-    visible next to the batch replay number."""
-    import shutil
-
-    from qwatch_spark.datagen import write_feed_files
-    from qwatch_spark.streaming import run_stream
-
-    cfg = PipelineConfig(
-        n_buckets=max(32, cpus), write_mode="auto", max_files_per_trigger=4
-    )
-    tmp = tempfile.mkdtemp(prefix="qwatch_bench_stream_", dir=_fast_dir())
-    write_feed_files(spark, f"{tmp}/feed", n_events, files=8)
-    # best of 2: the host shows multi-x wall variance on identical runs
-    walls, trial_stats = [], []
-    for trial in range(2):
-        table = SnapshotTable.create(
-            f"{tmp}/table{trial}", n_buckets=cfg.n_buckets
-        )
-        t0 = time.time()
-        trial_stats.append(
-            run_stream(spark, f"{tmp}/feed", table.path, f"{tmp}/ckpt{trial}", cfg)
-        )
-        walls.append(time.time() - t0)
-    best = walls.index(min(walls))
-    wall = walls[best]
-    stats = trial_stats[best]
-    # the apply phases sum vs total wall isolates the streaming machinery's
-    # fixed cost (trigger, checkpoint commits, dead-letter probe) from the
-    # shared apply work
-    out = {
-        "stream_events": n_events,
-        "stream_wall_sec": round(wall, 3),
-        "stream_wall_sec_trials": [round(w, 3) for w in walls],
-        "stream_events_per_sec": round(n_events / wall, 1),
-        "stream_epochs": len(stats),
-        "stream_phases": _sum_phases(stats),
-        "stream_overhead_sec": round(
-            wall - sum(s.wall_ms for s in stats) / 1000.0, 3
-        ),
-    }
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
-
-
-def bench_entity(spark, n_events: int, cpus: int) -> dict:
-    """Multi-entity apply trial (q51 shape at bench scale): one
-    discriminated page+domain feed with create-if-absent FK skeletons and
-    an explicit link table — three independent single-shuffle MERGEs per
-    epoch. Measures the claim that per-entity applies don't interfere."""
-    import shutil
-
-    from qwatch_spark.datagen import gen_entity_feed_df
-    from qwatch_spark.operators.entities import apply_entity_changes, create_entity_tables
-    from qwatch_spark.queries import entity_graph_specs
-
-    specs, links = entity_graph_specs()
-    cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto", rules=())
-    tmp = tempfile.mkdtemp(prefix="qwatch_bench_entity_", dir=_fast_dir())
-    feed = gen_entity_feed_df(
-        spark,
-        n_events,
-        n_domains=2000,
-        pages_per_domain=5000,
-        epoch_size=max(1, n_events // 2),
-        num_partitions=cpus * 2,
-    )
-    walls = []
-    for trial in range(2):
-        tables = create_entity_tables(
-            f"{tmp}/t{trial}", specs, links, n_buckets=cfg.n_buckets
-        )
-        t0 = time.time()
-        for e in range(2):
-            batch = feed.filter(feed.epoch_hint == e).drop("epoch_hint")
-            apply_entity_changes(
-                spark, batch, specs, tables, e, links=links, cfg=cfg
-            )
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    out = {
-        "entity_events": n_events,
-        "entity_wall_sec": round(wall, 3),
-        "entity_wall_sec_trials": [round(w, 3) for w in walls],
-        "entity_events_per_sec": round(n_events / wall, 1),
-        "entity_tables": len(specs) + len(links),
-    }
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
-
-
 def _fast_dir() -> str | None:
     """tmpfs if available — the host's single ~141 MB/s virtio disk is
     not representative of cluster storage and dominates otherwise."""
     return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
 
 
+class _Bench:
+    """One interleavable bench: prepared once, run per trial round,
+    finished into its result dict (best-of-N + full trial list)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.walls: list[float] = []
+        self.stats: list = []
+
+    def trial(self, i: int) -> None:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def run(self, i: int) -> None:
+        t0 = time.time()
+        self.stats.append(self.trial(i))
+        self.walls.append(time.time() - t0)
+
+    def best(self) -> tuple[float, object]:
+        b = self.walls.index(min(self.walls))
+        return self.walls[b], self.stats[b]
+
+
+class CdcBench(_Bench):
+    def __init__(self, spark, n_events: int, cpus: int):
+        super().__init__("cdc")
+        self.spark, self.n_events = spark, n_events
+        # auto = merge-on-read deltas + bounded compaction: the scale path
+        # (apply cost O(batch), not O(table)); correctness vs cow and the
+        # oracle is pytest-gated (tests/test_delta_mode.py)
+        self.cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto")
+        self.tmp = tempfile.mkdtemp(prefix="qwatch_bench_", dir=_fast_dir())
+        # warmup epoch (excluded): C2 JIT tiering + codecs + python workers
+        from qwatch_spark.operators.apply import apply_changes
+
+        wt = SnapshotTable.create(f"{self.tmp}/warm", n_buckets=self.cfg.n_buckets)
+        warm = gen_feed_df(spark, 100_000, num_partitions=cpus * 2).drop("epoch_hint")
+        apply_changes(spark, warm, wt, 0, self.cfg)
+        self.feed = gen_feed_df(
+            spark,
+            n_events,
+            n_domains=2000,
+            pages_per_domain=5000,
+            epoch_size=max(1, n_events // 2),
+            num_partitions=cpus * 2,
+        )
+        self.tables: list[SnapshotTable] = []
+
+    def trial(self, i: int):
+        table = SnapshotTable.create(f"{self.tmp}/table{i}", n_buckets=self.cfg.n_buckets)
+        self.tables.append(table)
+        return replay_feed(self.spark, self.feed, table, self.cfg)
+
+    def finish(self) -> dict:
+        wall, stats = self.best()
+        out = {
+            "cdc_events": self.n_events,
+            "cdc_wall_sec": round(wall, 3),
+            "cdc_wall_sec_trials": [round(w, 3) for w in self.walls],
+            "cdc_events_per_sec": round(self.n_events / wall, 1),
+            "cdc_epochs": len(stats),
+            "cdc_phases": _sum_phases(stats),
+            "cdc_final_rows": self.tables[0].read(self.spark).count(),
+        }
+        shutil.rmtree(self.tmp, ignore_errors=True)
+        return out
+
+
+class StreamBench(_Bench):
+    """Streaming-path trials: the same CDC apply driven through the
+    Structured Streaming runner (file source → foreachBatch →
+    exactly-once epoch commits), so checkpointing + trigger overhead is
+    visible next to the batch replay number."""
+
+    def __init__(self, spark, n_events: int, cpus: int):
+        super().__init__("stream")
+        from qwatch_spark.datagen import write_feed_files
+
+        self.spark, self.n_events = spark, n_events
+        self.cfg = PipelineConfig(
+            n_buckets=max(32, cpus), write_mode="auto", max_files_per_trigger=4
+        )
+        self.tmp = tempfile.mkdtemp(prefix="qwatch_bench_stream_", dir=_fast_dir())
+        write_feed_files(spark, f"{self.tmp}/feed", n_events, files=8)
+
+    def trial(self, i: int):
+        from qwatch_spark.streaming import run_stream
+
+        table = SnapshotTable.create(f"{self.tmp}/table{i}", n_buckets=self.cfg.n_buckets)
+        return run_stream(
+            self.spark, f"{self.tmp}/feed", table.path, f"{self.tmp}/ckpt{i}", self.cfg
+        )
+
+    def finish(self) -> dict:
+        wall, stats = self.best()
+        # the apply phases sum vs total wall isolates the streaming
+        # machinery's fixed cost (trigger, checkpoint commits, dead-letter
+        # probe) from the shared apply work
+        out = {
+            "stream_events": self.n_events,
+            "stream_wall_sec": round(wall, 3),
+            "stream_wall_sec_trials": [round(w, 3) for w in self.walls],
+            "stream_events_per_sec": round(self.n_events / wall, 1),
+            "stream_epochs": len(stats),
+            "stream_phases": _sum_phases(stats),
+            "stream_overhead_sec": round(
+                wall - sum(s.wall_ms for s in stats) / 1000.0, 3
+            ),
+        }
+        shutil.rmtree(self.tmp, ignore_errors=True)
+        return out
+
+
+class EntityBench(_Bench):
+    """Multi-entity apply trials (q51 shape at bench scale): one
+    discriminated page+domain feed with create-if-absent FK skeletons and
+    an explicit link table — three independent single-shuffle MERGEs per
+    epoch. Measures the claim that per-entity applies don't interfere."""
+
+    def __init__(self, spark, n_events: int, cpus: int):
+        super().__init__("entity")
+        from qwatch_spark.datagen import gen_entity_feed_df
+        from qwatch_spark.queries import entity_graph_specs
+
+        self.spark, self.n_events = spark, n_events
+        self.specs, self.links = entity_graph_specs()
+        self.cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto", rules=())
+        self.tmp = tempfile.mkdtemp(prefix="qwatch_bench_entity_", dir=_fast_dir())
+        self.feed = gen_entity_feed_df(
+            spark,
+            n_events,
+            n_domains=2000,
+            pages_per_domain=5000,
+            epoch_size=max(1, n_events // 2),
+            num_partitions=cpus * 2,
+        )
+
+    def trial(self, i: int):
+        from qwatch_spark.operators.entities import (
+            apply_entity_changes,
+            create_entity_tables,
+        )
+
+        tables = create_entity_tables(
+            f"{self.tmp}/t{i}", self.specs, self.links, n_buckets=self.cfg.n_buckets
+        )
+        for e in range(2):
+            batch = self.feed.filter(self.feed.epoch_hint == e).drop("epoch_hint")
+            apply_entity_changes(
+                self.spark, batch, self.specs, tables, e, links=self.links, cfg=self.cfg
+            )
+        return None
+
+    def finish(self) -> dict:
+        wall, _ = self.best()
+        out = {
+            "entity_events": self.n_events,
+            "entity_wall_sec": round(wall, 3),
+            "entity_wall_sec_trials": [round(w, 3) for w in self.walls],
+            "entity_events_per_sec": round(self.n_events / wall, 1),
+            "entity_tables": len(self.specs) + len(self.links),
+        }
+        shutil.rmtree(self.tmp, ignore_errors=True)
+        return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("QWATCH_BENCH_EVENTS", "2000000"))
+    n_trials = int(os.environ.get("QWATCH_BENCH_TRIALS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     extra = {"spark.ui.showConsoleProgress": "false"}
@@ -249,15 +282,19 @@ def main() -> None:
         force(df)
         timings[name] = round(time.time() - t0, 3)
 
-    cdc = bench_cdc_apply(spark, n_events, cpus)
-    timings["cdc_apply"] = cdc["cdc_wall_sec"]
-
     n_stream = int(os.environ.get("QWATCH_BENCH_STREAM_EVENTS", "500000"))
-    stream = bench_stream(spark, n_stream, cpus)
-    timings["stream_apply"] = stream["stream_wall_sec"]
-
     n_entity = int(os.environ.get("QWATCH_BENCH_ENTITY_EVENTS", "1000000"))
-    entity = bench_entity(spark, n_entity, cpus)
+    benches = [
+        CdcBench(spark, n_events, cpus),
+        StreamBench(spark, n_stream, cpus),
+        EntityBench(spark, n_entity, cpus),
+    ]
+    for i in range(n_trials):  # interleaved: cdc, stream, entity, cdc, ...
+        for b in benches:
+            b.run(i)
+    cdc, stream, entity = (b.finish() for b in benches)
+    timings["cdc_apply"] = cdc["cdc_wall_sec"]
+    timings["stream_apply"] = stream["stream_wall_sec"]
     timings["entity_apply"] = entity["entity_wall_sec"]
 
     total = round(sum(timings.values()), 3)
@@ -268,6 +305,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "bench_trials": n_trials,
         **cdc,
         **stream,
         **entity,

@@ -118,10 +118,76 @@ def test_frame_sampling_expands_rows(spark):
         assert sorted(r["frame_no"] for r in rows) == list(range(0, n_frames, 2))
 
 
-def test_real_codec_raises(spark):
-    media = make_media_df(spark, n=2)
-    with pytest.raises(NotImplementedError):
-        decode_metadata(media, codec="real")
+def _png_media_df(spark, n=6):
+    """(media_id, payload): real PNGs of varying dims/channels, one GIF
+    header, one garbage payload."""
+    import struct
+
+    import numpy as np
+
+    from qwatch_spark.functions.png import encode_png
+
+    rows = []
+    for i in range(n):
+        c = (1, 3, 4)[i % 3]
+        w, h = 4 + i, 3 + i
+        px = ((np.arange(h * w * c).reshape(h, w, c) * (i + 7)) % 256).astype(
+            np.uint8
+        )
+        rows.append((i, bytearray(encode_png(px)), px))
+    gif = bytearray(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8)
+    rows.append((100, gif, None))
+    rows.append((101, bytearray(b"\xff\xd8\xff JPEG-ish garbage"), None))
+    df = spark.createDataFrame(
+        [(mid, bytes(p)) for mid, p, _ in rows],
+        "media_id long, payload binary",
+    )
+    return df, {mid: px for mid, _, px in rows if px is not None}
+
+
+def test_real_codec_decodes_png_metadata(spark):
+    df, pixels = _png_media_df(spark)
+    meta = {r["media_id"]: r for r in decode_metadata(df, codec="real").collect()}
+    for mid, px in pixels.items():
+        h, w = px.shape[:2]
+        r = meta[mid]
+        assert (r["kind"], r["dim_a"], r["dim_b"], r["valid"]) == ("image", w, h, True)
+    assert (meta[100]["kind"], meta[100]["dim_a"], meta[100]["dim_b"]) == (
+        "image", 320, 200,
+    )
+    assert meta[101]["valid"] is False and meta[101]["kind"] is None
+
+
+def test_real_codec_pixel_features(spark):
+    """extract_features(codec='real') statistics are over DECODED pixels
+    (zlib inflate + unfilter), matching numpy on the source arrays."""
+    df, pixels = _png_media_df(spark)
+    feats = {r["media_id"]: r for r in extract_features(df, codec="real").collect()}
+    for mid, px in pixels.items():
+        assert feats[mid]["mean_byte"] == pytest.approx(float(px.mean()))
+        assert feats[mid]["max_byte"] == int(px.max())
+    assert feats[100]["mean_byte"] is None  # GIF pixels need a real LZW codec
+    assert feats[101]["mean_byte"] is None
+
+
+def test_real_codec_resize_roundtrip(spark):
+    """resize(codec='real') emits VALID PNGs whose pixels are the exact
+    nearest-neighbor resample of the originals."""
+    import numpy as np
+
+    from qwatch_spark.functions.png import decode_png, resize_nearest
+    from qwatch_spark.operators.multimodal import resize_images
+
+    df, pixels = _png_media_df(spark)
+    out = {
+        r["media_id"]: r["payload"]
+        for r in resize_images(df, out_w=4, out_h=4, codec="real").collect()
+    }
+    for mid, px in pixels.items():
+        got = decode_png(bytes(out[mid]))
+        want = resize_nearest(px, 4, 4)
+        assert got.shape == (4, 4, px.shape[2]) and (got == want).all()
+    assert out[100] is None and out[101] is None  # undecodable → NULL
 
 
 def test_resize_images_rewrites_dims_and_resamples(spark):
@@ -148,10 +214,12 @@ def test_resize_images_rewrites_dims_and_resamples(spark):
     assert a == b
 
 
-def test_resize_real_codec_raises_at_call_site(spark):
+def test_unknown_codec_rejected(spark):
     import pytest
 
     from qwatch_spark.operators.multimodal import make_media_df, resize_images
 
-    with pytest.raises(NotImplementedError):
-        resize_images(make_media_df(spark, 2), 4, 4, codec="real")
+    with pytest.raises(ValueError, match="unknown codec"):
+        resize_images(make_media_df(spark, 2), 4, 4, codec="pil")
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_metadata(make_media_df(spark, 2), codec="ffmpeg")
