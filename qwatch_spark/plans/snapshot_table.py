@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from qwatch_spark.plans.commit_backend import BACKENDS, cas_backend
 from qwatch_spark.schema import PAGE_SCHEMA, schema_from_json
 
 MANIFEST = "manifest.json"
@@ -119,6 +120,7 @@ class SnapshotTable:
         key_col: str = "url",
         commit_protocol: str = "localfs",
         manifest_shards: int | None = None,
+        cas_backend: str = "localfs",
     ) -> "SnapshotTable":
         """`manifest_shards=k` shards the per-bucket manifest entries
         into k immutable side files (bucket b lives in shard b % k), so
@@ -141,6 +143,11 @@ class SnapshotTable:
             raise ValueError(
                 f"unknown commit_protocol {commit_protocol!r} "
                 "(expected 'localfs' or 'cas')"
+            )
+        if cas_backend not in BACKENDS:
+            raise ValueError(
+                f"unknown cas_backend {cas_backend!r} "
+                f"(expected one of {sorted(BACKENDS)})"
             )
         if manifest_shards is not None and not (
             1 <= manifest_shards <= n_buckets
@@ -168,6 +175,8 @@ class SnapshotTable:
             manifest["buckets"] = {}
         if commit_protocol == "cas":
             manifest["commit_protocol"] = "cas"
+            if cas_backend != "localfs":
+                manifest["cas_backend"] = cas_backend
         cls._write_manifest(path, manifest)
         return cls(path)
 
@@ -176,25 +185,15 @@ class SnapshotTable:
             manifest = json.load(fh)
         if manifest.get("commit_protocol") != "cas":
             return manifest
-        # CAS tables: the _commits log is authoritative, manifest.json is
+        # CAS tables: the commit log is authoritative, manifest.json is
         # only a pointer cache. A writer that crashed after its CAS
-        # linearization (commit file created) but before the pointer swap
+        # linearization (commit slot created) but before the pointer swap
         # leaves the pointer stale — heal forward to the newest commit.
-        cdir = os.path.join(self.path, COMMITS_DIR)
-        try:
-            top = max(
-                (
-                    int(f[2:-5])
-                    for f in os.listdir(cdir)
-                    if f.startswith("m=") and f.endswith(".json")
-                ),
-                default=-1,
-            )
-        except FileNotFoundError:
-            return manifest
+        backend = cas_backend(manifest.get("cas_backend", "localfs"), self.path)
+        slots = backend.slots()
+        top = max(slots) if slots else -1
         if top > manifest.get("mutation", 0):
-            with open(os.path.join(cdir, f"m={top}.json")) as fh:
-                manifest = json.load(fh)
+            manifest = json.loads(backend.read(top))
             tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -214,58 +213,48 @@ class SnapshotTable:
         table) into a loud error instead of silent committed-data loss.
 
         ``cas``: true compare-and-swap. The linearization point is an
-        atomic put-if-absent of ``_commits/m=<n>.json`` (``os.link``
-        fails EEXIST if mutation n was already committed) — the local-FS
-        analog of an object store's conditional put (S3 If-None-Match,
-        GCS x-goog-if-generation-match:0, Azure If-None-Match:*) and the
-        same protocol Delta Lake's HDFS LogStore uses. There is NO
+        atomic put-if-absent of commit slot n through the table's
+        `CasBackend` (commit_backend.py — localfs: ``os.link`` into
+        ``_commits/m=<n>.json``, failing EEXIST; the object-store impls
+        are a conditional put: S3 If-None-Match, GCS
+        x-goog-if-generation-match:0, Azure If-None-Match:*; same
+        protocol as Delta Lake's HDFS LogStore). There is NO
         check-then-act window: a racing writer loses at the create
         itself regardless of interleaving, and ``manifest.json`` is just
         a pointer cache healed forward by ``_load_manifest``. Porting to
-        a real object store swaps ``os.link`` for the store's
-        conditional put; nothing else changes."""
+        a real object store is a new 4-method CasBackend; nothing in the
+        protocol changes (proven by running the CAS tests through both
+        the localfs and in-memory backends)."""
         target = os.path.join(path, MANIFEST)
         if manifest.get("commit_protocol") == "cas":
+            backend = cas_backend(manifest.get("cas_backend", "localfs"), path)
             n = 0 if expected_mutation is None else expected_mutation + 1
             manifest["mutation"] = n
-            cdir = os.path.join(path, COMMITS_DIR)
-            os.makedirs(cdir, exist_ok=True)
             if expected_mutation is not None:
                 # rebase check (one LIST, same as Delta's LogStore): a
                 # writer whose base is behind the log's top must lose
                 # LOUDLY here — required because vacuum prunes commit
-                # files below top, so a long-stale writer's put-if-absent
+                # slots below top, so a long-stale writer's put-if-absent
                 # target slot may be free again. Writers passing this
                 # check target top+1, which vacuum never prunes, so the
-                # link below stays the true linearization point for the
-                # remaining check→link window.
-                top = max(
-                    (
-                        int(f[2:-5])
-                        for f in os.listdir(cdir)
-                        if f.startswith("m=") and f.endswith(".json")
-                    ),
-                    default=-1,
-                )
+                # put below stays the true linearization point for the
+                # remaining check→put window.
+                slots = backend.slots()
+                top = max(slots) if slots else -1
                 if top != expected_mutation:
                     raise RuntimeError(
                         f"concurrent writer detected on {path}: commit log "
                         f"top m={top} != expected {expected_mutation}; "
                         "aborting commit (no state was overwritten)"
                     )
-            tmp = os.path.join(cdir, f".{uuid.uuid4().hex}.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh, indent=1, sort_keys=True)
-            try:
-                os.link(tmp, os.path.join(cdir, f"m={n}.json"))
-            except FileExistsError:
+            if not backend.put_if_absent(
+                n, json.dumps(manifest, indent=1, sort_keys=True)
+            ):
                 raise RuntimeError(
                     f"concurrent writer detected on {path}: commit m={n} "
                     "already exists (lost the CAS put-if-absent); "
                     "aborting commit (no state was overwritten)"
-                ) from None
-            finally:
-                os.unlink(tmp)
+                )
         elif expected_mutation is not None and os.path.exists(target):
             with open(target) as fh:
                 cur = json.load(fh)
@@ -306,6 +295,13 @@ class SnapshotTable:
     @property
     def version(self) -> int:
         return self._manifest["version"]
+
+    def commit_log_backend(self):
+        """The table's CasBackend (commit_backend.py) — the 4-method
+        conditional-put seam the CAS protocol linearizes through."""
+        return cas_backend(
+            self._manifest.get("cas_backend", "localfs"), self.path
+        )
 
     def has_epoch(self, epoch_id: int) -> bool:
         e = int(epoch_id)
@@ -1050,16 +1046,14 @@ class SnapshotTable:
                     os.unlink(os.path.join(sdir, f))
                     removed.append(f)
         # CAS commit log: only the highest mutation is authoritative
-        # (loads recover forward to max); older entries are dead weight
-        cdir = os.path.join(self.path, COMMITS_DIR)
-        if os.path.isdir(cdir):
+        # (loads recover forward to max); older slots are dead weight
+        if self._manifest.get("commit_protocol") == "cas":
+            backend = cas_backend(
+                self._manifest.get("cas_backend", "localfs"), self.path
+            )
             top = self._manifest.get("mutation", 0)
-            for f in os.listdir(cdir):
-                if (
-                    f.startswith("m=")
-                    and f.endswith(".json")
-                    and int(f[2:-5]) < top
-                ):
-                    os.unlink(os.path.join(cdir, f))
-                    removed.append(f)
+            for n in backend.slots():
+                if n < top:
+                    backend.delete(n)
+                    removed.append(f"m={n}.json")
         return removed

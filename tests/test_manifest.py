@@ -265,43 +265,55 @@ def test_dead_letter_exactly_once_on_redelivery(spark, tmp_path):
     assert spark.read.parquet(os.path.join(t.path, "dead_letter")).count() == n_dead
 
 
-def test_cas_protocol_commits_and_heals_forward(tmp_path):
-    """CAS tables linearize on _commits/m=<n>.json; manifest.json is a
+import pytest
+
+# Every CAS-protocol test runs through BOTH conditional-put backends
+# (localfs os.link and the in-memory object-store fake) — proving the
+# protocol depends on nothing but the 4-method CasBackend seam, so an
+# S3/GCS port is a new backend, not a protocol change.
+CAS_BACKENDS = ["localfs", "memory"]
+
+
+@pytest.mark.parametrize("backend", CAS_BACKENDS)
+def test_cas_protocol_commits_and_heals_forward(tmp_path, backend):
+    """CAS tables linearize on commit slot n; manifest.json is a
     pointer cache. A writer crashing AFTER the put-if-absent but BEFORE
     the pointer swap must not lose its commit: the next load recovers
     forward from the commit log and heals the pointer on disk."""
     path = str(tmp_path / "t")
-    t = SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    t = SnapshotTable.create(
+        path, SCHEMA, n_buckets=4, commit_protocol="cas", cas_backend=backend
+    )
     t.commit_empty_epoch(0)
     t.commit_empty_epoch(1)
     t2 = SnapshotTable(path)
     assert t2.has_epoch(1) and not t2.has_epoch(2)
-    # simulate crash-after-linearization: commit file exists, pointer stale
+    # simulate crash-after-linearization: commit slot exists, pointer stale
     m = dict(t2._manifest)
     m["mutation"] += 1
     m["epoch_watermark"] = 5
-    with open(os.path.join(path, "_commits", f"m={m['mutation']}.json"), "w") as fh:
-        json.dump(m, fh)
+    assert t2.commit_log_backend().put_if_absent(m["mutation"], json.dumps(m))
     t3 = SnapshotTable(path)  # recovers forward
     assert t3.has_epoch(5) and t3._manifest["mutation"] == m["mutation"]
     with open(os.path.join(path, "manifest.json")) as fh:
         assert json.load(fh)["mutation"] == m["mutation"]  # pointer healed
 
 
-def test_cas_rejects_racer_at_linearization_point(tmp_path):
+@pytest.mark.parametrize("backend", CAS_BACKENDS)
+def test_cas_rejects_racer_at_linearization_point(tmp_path, backend):
     """The race localfs mode can only detect (check-then-replace TOCTOU)
     is PREVENTED under cas: a stale writer loses at the put-if-absent
     itself, even when the pointer check would have passed because the
     winner never got to update the pointer."""
-    import pytest
-
     path = str(tmp_path / "t")
-    a = SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    a = SnapshotTable.create(
+        path, SCHEMA, n_buckets=4, commit_protocol="cas", cas_backend=backend
+    )
     b = SnapshotTable(path)  # second writer, same base mutation
     a.commit_empty_epoch(0)
     with pytest.raises(RuntimeError, match="concurrent writer"):
         b.commit_empty_epoch(1)
-    # stronger: winner's commit file exists but its pointer update never
+    # stronger: winner's commit slot exists but its pointer update never
     # landed (crashed mid-commit). The localfs pointer check would PASS
     # here and silently bury the winner's commit; cas still rejects —
     # first via the rebase check (log top moved past the base)...
@@ -309,49 +321,44 @@ def test_cas_rejects_racer_at_linearization_point(tmp_path):
     base = dict(c._manifest)
     crash = dict(base)
     crash["mutation"] = base["mutation"] + 1
-    with open(
-        os.path.join(path, "_commits", f"m={crash['mutation']}.json"), "w"
-    ) as fh:
-        json.dump(crash, fh)
+    assert c.commit_log_backend().put_if_absent(crash["mutation"], json.dumps(crash))
     with pytest.raises(RuntimeError, match="concurrent writer"):
         c.commit_empty_epoch(2)
-    # ...and, in the race window where the winner's link lands BETWEEN
-    # this writer's LIST and its own link (simulated by serving c a
-    # stale listing), at the put-if-absent itself:
+    # ...and, in the race window where the winner's put lands BETWEEN
+    # this writer's LIST and its own put (simulated by serving c a
+    # stale slot listing), at the put-if-absent itself:
     from unittest import mock
 
-    import qwatch_spark.plans.snapshot_table as st
+    from qwatch_spark.plans import commit_backend as cb
 
-    real_listdir = os.listdir
-    crash_name = f"m={crash['mutation']}.json"
+    cls = cb.BACKENDS[backend]
+    real_slots = cls.slots
 
-    def stale_listdir(p):
-        out = real_listdir(p)
-        return [f for f in out if f != crash_name]
+    def stale_slots(self):
+        return [n for n in real_slots(self) if n != crash["mutation"]]
 
-    with mock.patch.object(st.os, "listdir", side_effect=stale_listdir):
+    with mock.patch.object(cls, "slots", stale_slots):
         with pytest.raises(RuntimeError, match="concurrent writer"):
             c.commit_empty_epoch(2)
     # the buried commit is still recoverable by the next loader
     assert SnapshotTable(path)._manifest["mutation"] == crash["mutation"]
 
 
-def test_cas_vacuum_prunes_log_but_stale_writer_stays_rejected(tmp_path):
-    """vacuum drops commit files below the top mutation (only the max is
+@pytest.mark.parametrize("backend", CAS_BACKENDS)
+def test_cas_vacuum_prunes_log_but_stale_writer_stays_rejected(tmp_path, backend):
+    """vacuum drops commit slots below the top mutation (only the max is
     authoritative). A long-stale writer whose put-if-absent slot was
     freed by that prune must STILL lose — the rebase check compares its
-    base against the log top before linking."""
-    import pytest
-
+    base against the log top before the put."""
     path = str(tmp_path / "t")
-    t = SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    t = SnapshotTable.create(
+        path, SCHEMA, n_buckets=4, commit_protocol="cas", cas_backend=backend
+    )
     stale = SnapshotTable(path)  # base mutation 0
     for e in range(5):
         t.commit_empty_epoch(e)
     removed = t.vacuum(retention_s=0)
-    cdir = os.path.join(path, "_commits")
-    left = [f for f in os.listdir(cdir) if f.startswith("m=")]
-    assert left == [f"m={t._manifest['mutation']}.json"]
+    assert t.commit_log_backend().slots() == [t._manifest["mutation"]]
     assert any(f.startswith("m=") for f in removed)
     # stale writer's slot m=1 is free again, but it is rejected loudly
     with pytest.raises(RuntimeError, match="concurrent writer"):
@@ -410,7 +417,8 @@ def test_commit_protocol_config_plumbing(tmp_path):
         assert os.path.isdir(os.path.join(t.path, "_commits"))
 
 
-def test_cas_threads_race_with_retry_no_lost_commits(tmp_path):
+@pytest.mark.parametrize("backend", CAS_BACKENDS)
+def test_cas_threads_race_with_retry_no_lost_commits(tmp_path, backend):
     """8 threads race commit_empty_epoch on one cas table with the
     optimistic-retry loop a real writer would use (reload + reapply on
     ConcurrentWriter). Every epoch must land exactly once, the commit
@@ -420,7 +428,9 @@ def test_cas_threads_race_with_retry_no_lost_commits(tmp_path):
     import threading
 
     path = str(tmp_path / "t")
-    SnapshotTable.create(path, SCHEMA, n_buckets=4, commit_protocol="cas")
+    SnapshotTable.create(
+        path, SCHEMA, n_buckets=4, commit_protocol="cas", cas_backend=backend
+    )
     epochs = list(range(24))
     errors: list[Exception] = []
 
@@ -449,11 +459,7 @@ def test_cas_threads_race_with_retry_no_lost_commits(tmp_path):
     final = SnapshotTable(path)
     assert all(final.has_epoch(e) for e in epochs)
     # gap-free mutation history: m=0 (create) .. m=top all exist
-    logged = sorted(
-        int(f[2:-5])
-        for f in os.listdir(os.path.join(path, "_commits"))
-        if f.startswith("m=")
-    )
+    logged = final.commit_log_backend().slots()
     assert logged == list(range(final._manifest["mutation"] + 1))
 
 
