@@ -237,7 +237,10 @@ def apply_changes(
                 if r["lo"] is not None
             }
             # I-vs-U classification needs a table lookup, so delta lineage
-            # records upserts as 'U' (deletes stay exact) — documented above
+            # records upserts as 'U' (deletes stay exact); the table's
+            # last_op is repaired to the true I/U at compaction, which
+            # reads the history anyway (METRICS_SCHEMA documents the
+            # cross-mode semantics)
             metrics_rows = [
                 {
                     "epoch_id": int(epoch_id),

@@ -833,7 +833,26 @@ class SnapshotTable:
         amplification in file-open terms, bytes bounds it in I/O terms
         (many tiny deltas vs few huge ones need different triggers).
         Maintenance-only: state is unchanged, no epoch consumed. Returns
-        the compacted bucket ids."""
+        the compacted bucket ids.
+
+        Lineage repair rides along for free: the delta apply path writes
+        upserts with a coarse ``last_op='U'`` (I-vs-U needs a table
+        lookup the O(batch) path refuses to pay), so cow and delta
+        tables record different last_op for identical feeds. Compaction
+        already reads every retained row of a victim bucket, which is
+        exactly the history needed to reconstruct the truth: a winning
+        DELTA row's previous state is the next-newest retained row of
+        its key (base files hold the full pre-delta key set, tombstones
+        included), so the winner was an insert iff that previous row is
+        absent or a tombstone. Base-file winners keep their recorded
+        last_op (their own history was folded away by an earlier
+        compaction — recorded truth beats reconstruction there).
+        Post-compaction, cow and delta tables agree row-for-row on
+        last_op (tested in test_delta_mode). The per-epoch METRICS rows
+        appended at apply time are immutable history and keep the
+        coarse delta semantics (n_insert=0) — documented in
+        schema.METRICS_SCHEMA; consumers wanting exact I/U splits read
+        the table's last_op, not cross-mode metrics."""
         victims = [
             int(b)
             for b, e in self._entries(None)
@@ -846,7 +865,7 @@ class SnapshotTable:
         ]
         if not victims:
             return []
-        resolved = self.read_buckets(spark, victims)
+        resolved = self._resolve_with_lineage_repair(spark, victims)
         new_version = self.version + 1
         token = _vtoken(new_version)
         out = os.path.join(self.path, "data", f"v={token}")
@@ -879,6 +898,61 @@ class SnapshotTable:
         written = self._apply_bucket_updates(manifest, updates)
         self._swap_or_cleanup(manifest, out, extra_paths=written)
         return victims
+
+    def _resolve_with_lineage_repair(
+        self, spark: SparkSession, buckets: list[int]
+    ) -> DataFrame:
+        """Latest-wins resolution of the chosen buckets that ALSO
+        reconstructs each delta-file winner's true last_op from the
+        retained history (see compact() docstring). One window sort per
+        bucket instead of read_buckets' max_by agg — compaction is
+        maintenance, and it needs the runner-up row anyway."""
+        from pyspark.sql.window import Window
+
+        schema = full_schema(self.payload_schema)
+        base_paths, delta_paths = self._bucket_paths(buckets)
+        if not delta_paths:
+            return self.read_buckets(spark, buckets)
+        parts = []
+        if base_paths:
+            parts.append(
+                spark.read.schema(schema).parquet(*base_paths)
+                .withColumn("_from_delta", F.lit(False))
+            )
+        parts.append(
+            spark.read.schema(schema).parquet(*delta_paths)
+            .withColumn("_from_delta", F.lit(True))
+        )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.desc("warc_ts"), F.desc("seq"), F.desc("last_epoch")
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            # next row in DESC order = the key's state just before the
+            # winner (dedup guarantees one row per key per epoch)
+            .withColumn("_prev_deleted", F.lead("is_deleted").over(w))
+        )
+        repaired_op = (
+            F.when(F.col("is_deleted"), F.lit("D"))
+            .when(
+                F.col("_prev_deleted").isNull() | F.col("_prev_deleted"),
+                F.lit("I"),
+            )
+            .otherwise(F.lit("U"))
+        )
+        return (
+            df.filter(F.col("_rn") == 1)
+            .withColumn(
+                "last_op",
+                F.when(F.col("_from_delta"), repaired_op).otherwise(
+                    F.col("last_op")
+                ),
+            )
+            .drop("_rn", "_prev_deleted", "_from_delta")
+        )
 
     def commit_empty_epoch(self, epoch_id: int) -> None:
         """Record an epoch that produced no changes (all rows gated) —
