@@ -1,0 +1,142 @@
+"""Standalone maintenance (jobs/maintain_job.py analog): compaction +
+vacuum running BESIDE live applies as a second CAS writer — lost races
+abort cleanly and retry, final state stays exactly the oracle's, and
+the delta-mode apply path never pays the compaction wall itself."""
+
+import threading
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.datagen import gen_feed_df, gen_feed_rows
+from qwatch_spark.operators.apply import apply_changes
+from qwatch_spark.plans.maintenance import maintain_once
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+from tests.oracle import oracle_final_pages
+
+N = 2400
+N_EPOCHS = 6
+
+
+def _engine_state(spark, table):
+    return {
+        r["url"]: (
+            r["warc_ts"],
+            bytes(r["html"]) if r["html"] is not None else None,
+            r["text"],
+            r["lang"],
+        )
+        for r in table.read(spark).collect()
+    }
+
+
+def _apply_with_retry(spark, batch, path, epoch, cfg, attempts=50):
+    """The documented CAS writer loop: reload (= rebase) and retry on a
+    lost race — exactly what a live applier does when maintenance
+    commits between its epochs."""
+    for _ in range(attempts):
+        table = SnapshotTable(path)
+        try:
+            return apply_changes(spark, batch, table, epoch, cfg)
+        except RuntimeError as e:
+            if "concurrent writer" not in str(e) and "stale" not in str(e):
+                raise
+    raise AssertionError(f"epoch {epoch} never applied after {attempts} tries")
+
+
+def test_maintenance_interleaved_with_applies_sequential(spark, tmp_path):
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta", commit_protocol="cas")
+    path = str(tmp_path / "t")
+    SnapshotTable.create(path, n_buckets=8, commit_protocol="cas")
+    feed = gen_feed_df(spark, N, epoch_size=N // N_EPOCHS)
+    epochs = sorted(
+        r[0] for r in feed.select("epoch_hint").distinct().collect()
+    )
+    compacted_total = 0
+    for e in epochs:
+        batch = feed.filter(feed.epoch_hint == e).drop("epoch_hint")
+        stats = _apply_with_retry(spark, batch, path, e, cfg)
+        # delta-mode apply never carries the compaction wall
+        assert "compact" not in (stats.phases or {})
+        # maintenance runs between epochs as a second writer
+        r = maintain_once(
+            spark, path, max_deltas=0, retention_s=0
+        )
+        assert not r["lost_race"]
+        compacted_total += r["compacted_buckets"]
+    assert compacted_total > 0  # maintenance actually folded chains
+    table = SnapshotTable(path)
+    assert not table.has_deltas()
+    want = oracle_final_pages(gen_feed_rows(N), cfg)
+    assert _engine_state(spark, table) == want
+    # every epoch committed exactly once despite the interleaving
+    assert all(table.has_epoch(e) for e in epochs)
+
+
+def test_maintenance_races_live_applier_threads(spark, tmp_path):
+    """True concurrency: an applier thread (reload-retry loop) races a
+    maintenance thread cycling compact+vacuum on the same CAS table.
+    Nothing is lost, nothing deadlocks, final state == oracle."""
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta", commit_protocol="cas")
+    path = str(tmp_path / "t")
+    SnapshotTable.create(path, n_buckets=8, commit_protocol="cas")
+    feed = gen_feed_df(spark, N, epoch_size=N // N_EPOCHS)
+    epochs = sorted(
+        r[0] for r in feed.select("epoch_hint").distinct().collect()
+    )
+    batches = {
+        e: feed.filter(feed.epoch_hint == e).drop("epoch_hint") for e in epochs
+    }
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def applier():
+        try:
+            for e in epochs:
+                _apply_with_retry(spark, batches[e], path, e, cfg)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def maintainer():
+        try:
+            while not done.is_set():
+                r = maintain_once(spark, path, max_deltas=1, retention_s=3600)
+                assert isinstance(r["lost_race"], bool)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta = threading.Thread(target=applier)
+    tm = threading.Thread(target=maintainer)
+    ta.start(), tm.start()
+    ta.join(600), tm.join(600)
+    assert not errors, errors
+    table = SnapshotTable(path)
+    want = oracle_final_pages(gen_feed_rows(N), cfg)
+    assert _engine_state(spark, table) == want
+    assert all(table.has_epoch(e) for e in epochs)
+
+
+def test_maintain_job_cli_once(spark, tmp_path):
+    """jobs/maintain_job.py --once drives maintain_once end-to-end."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.maintain_job import main
+
+    cfg = PipelineConfig(n_buckets=4, write_mode="delta")
+    path = str(tmp_path / "t")
+    table = SnapshotTable.create(path, n_buckets=4)
+    feed = gen_feed_df(spark, 600, epoch_size=200)
+    for e in sorted(r[0] for r in feed.select("epoch_hint").distinct().collect()):
+        apply_changes(
+            spark, feed.filter(feed.epoch_hint == e).drop("epoch_hint"),
+            table, e, cfg,
+        )
+    before = _engine_state(spark, table)
+    rc = main(["--table", path, "--once", "--max-deltas", "0",
+               "--vacuum-retention", "0"])
+    assert rc == 0
+    after = SnapshotTable(path)
+    assert not after.has_deltas()
+    assert _engine_state(spark, after) == before
