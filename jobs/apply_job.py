@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
+    p.add_argument("--cas-backend", choices=("localfs", "memory"), default=None)
     p.add_argument("--manifest-shards", type=int, default=None)
     p.add_argument("--feed-format", choices=("parquet", "json"), default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
@@ -61,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         compact_every=args.compact_every,
         min_quality=args.min_quality,
         commit_protocol=args.commit_protocol,
+        cas_backend=args.cas_backend,
         manifest_shards=args.manifest_shards,
         feed_format=args.feed_format,
     )
@@ -73,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         args.table, n_buckets=cfg.n_buckets,
         commit_protocol=cfg.commit_protocol,
         manifest_shards=cfg.manifest_shards,
+        cas_backend=cfg.cas_backend,
     )  # no-op if exists
     stats = run_stream(
         spark,

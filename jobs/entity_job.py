@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=None)
     p.add_argument("--write-mode", choices=("cow", "delta", "auto"), default=None)
     p.add_argument("--commit-protocol", choices=("localfs", "cas"), default=None)
+    p.add_argument("--cas-backend", choices=("localfs", "memory"), default=None)
     p.add_argument("--manifest-shards", type=int, default=None)
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
@@ -54,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         write_mode=args.write_mode,
         commit_protocol=args.commit_protocol,
+        cas_backend=args.cas_backend,
         manifest_shards=args.manifest_shards,
     )
 

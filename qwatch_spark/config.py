@@ -76,6 +76,11 @@ class PipelineConfig:
     #   cas     — put-if-absent commit log: safe under concurrent
     #             writers on any store with a conditional put
     commit_protocol: str = "localfs"
+    # cas conditional-put backend for tables this pipeline creates:
+    #   localfs — os.link put-if-absent (default)
+    #   memory  — in-process fake (tests / porting template; an S3/GCS
+    #             adapter is a new CasBackend in plans/commit_backend.py)
+    cas_backend: str = "localfs"
     # shard the manifest's bucket entries into this many side files
     # (None = inline). Size ≥ n_buckets/32 once n_buckets is large:
     # per-epoch manifest cost becomes O(touched buckets)
@@ -95,6 +100,13 @@ class PipelineConfig:
             raise ValueError(
                 f"unknown commit_protocol {self.commit_protocol!r} "
                 "(expected 'localfs' or 'cas')"
+            )
+        from qwatch_spark.plans.commit_backend import BACKENDS
+
+        if self.cas_backend not in BACKENDS:
+            raise ValueError(
+                f"unknown cas_backend {self.cas_backend!r} "
+                f"(expected one of {sorted(BACKENDS)})"
             )
         from qwatch_spark.sources.feed import FEED_FORMATS
 

@@ -214,6 +214,7 @@ def create_entity_tables(
     overwrite: bool = False,
     commit_protocol: str = "localfs",
     manifest_shards: int | None = None,
+    cas_backend: str = "localfs",
 ) -> dict[str, SnapshotTable]:
     """One SnapshotTable per entity (and per link table) under base_path."""
     tables = {}
@@ -226,6 +227,7 @@ def create_entity_tables(
             overwrite=overwrite,
             commit_protocol=commit_protocol,
             manifest_shards=manifest_shards,
+            cas_backend=cas_backend,
         )
     for lk in links or []:
         tables[lk.name] = SnapshotTable.create(
@@ -236,6 +238,7 @@ def create_entity_tables(
             overwrite=overwrite,
             commit_protocol=commit_protocol,
             manifest_shards=manifest_shards,
+            cas_backend=cas_backend,
         )
     return tables
 

@@ -140,3 +140,24 @@ def test_maintain_job_cli_once(spark, tmp_path):
     after = SnapshotTable(path)
     assert not after.has_deltas()
     assert _engine_state(spark, after) == before
+
+
+def test_cas_backend_config_plumbing(tmp_path):
+    """PipelineConfig validates cas_backend and create_entity_tables
+    propagates it into every entity/link manifest."""
+    import pytest
+
+    from qwatch_spark.operators.entities import create_entity_tables
+    from qwatch_spark.queries import entity_graph_specs
+
+    with pytest.raises(ValueError, match="cas_backend"):
+        PipelineConfig(cas_backend="s3")
+    specs, links = entity_graph_specs()
+    tables = create_entity_tables(
+        str(tmp_path / "g"), specs, links, n_buckets=4,
+        commit_protocol="cas", cas_backend="memory",
+    )
+    for t in tables.values():
+        assert t._manifest["cas_backend"] == "memory"
+        t.commit_empty_epoch(0)  # commits land in the memory backend
+        assert t.commit_log_backend().slots() == [0, 1]
