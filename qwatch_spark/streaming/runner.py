@@ -35,6 +35,28 @@ from qwatch_spark.sinks import ParquetSink, Sink
 from qwatch_spark.sources.feed import read_feed_stream, split_dead_letter
 
 
+def _is_lost_race(e: Exception) -> bool:
+    return "concurrent writer" in str(e) or "stale" in str(e)
+
+
+def _retry_lost_race(fn, attempts: int = 20):
+    """The CAS writer loop for the streaming daemon: a maintenance job
+    (jobs/maintain_job.py) committing between this epoch's table reload
+    and its manifest swap makes the apply lose the race LOUDLY; the
+    correct response is rebase (fn reloads the table) and retry, not
+    killing the streaming query. Genuine second-applier conflicts still
+    surface after `attempts` straight losses."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except RuntimeError as e:
+            if not _is_lost_race(e):
+                raise
+            last = e
+    raise last
+
+
 def run_stream(
     spark: SparkSession,
     feed_dir: str,
@@ -89,7 +111,13 @@ def run_stream(
             sink.append(
                 dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
             )
-        stats.append(apply_changes(spark, valid, table, epoch_id, cfg))
+        stats.append(
+            _retry_lost_race(
+                lambda: apply_changes(
+                    spark, valid, SnapshotTable(table_path), epoch_id, cfg
+                )
+            )
+        )
 
     stream = read_feed_stream(
         spark, feed_dir, max_files_per_trigger=cfg.max_files_per_trigger,
@@ -192,7 +220,6 @@ def run_entity_stream(
         return df.filter(~bad), df.filter(bad)
 
     def _apply(batch_df, epoch_id: int) -> None:
-        fresh = {n: SnapshotTable(t.path) for n, t in tables.items()}
         # ALWAYS split — a crash between per-table commits (lead committed,
         # a lagging entity table not) replays this epoch, and the lagging
         # tables must still see only valid rows or replay-state diverges
@@ -205,9 +232,13 @@ def run_entity_stream(
                 dead.withColumn("_dead_epoch", F.lit(int(epoch_id))), epoch_id
             )
         stats.append(
-            apply_entity_changes(
-                spark, valid, list(specs), fresh, epoch_id,
-                links=list(links or []), cfg=cfg, type_col=type_col,
+            _retry_lost_race(
+                lambda: apply_entity_changes(
+                    spark, valid, list(specs),
+                    {n: SnapshotTable(t.path) for n, t in tables.items()},
+                    epoch_id,
+                    links=list(links or []), cfg=cfg, type_col=type_col,
+                )
             )
         )
 

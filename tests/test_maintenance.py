@@ -161,3 +161,75 @@ def test_cas_backend_config_plumbing(tmp_path):
         assert t._manifest["cas_backend"] == "memory"
         t.commit_empty_epoch(0)  # commits land in the memory backend
         assert t.commit_log_backend().slots() == [0, 1]
+
+
+def test_retry_lost_race_unit():
+    from qwatch_spark.streaming.runner import _retry_lost_race
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("concurrent writer detected on /t: ...")
+        return "ok"
+
+    assert _retry_lost_race(flaky) == "ok" and calls["n"] == 3
+
+    def real_error():
+        raise RuntimeError("schema mismatch")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="schema mismatch"):
+        _retry_lost_race(real_error)
+
+    def always_losing():
+        raise RuntimeError("concurrent writer detected on /t: ...")
+
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        _retry_lost_race(always_losing, attempts=3)
+
+
+def test_run_stream_survives_racing_maintenance(spark, tmp_path):
+    """The streaming daemon must not die when the standalone maintenance
+    job commits between an epoch's table reload and its manifest swap —
+    the foreachBatch apply rebases and retries. Final state must equal a
+    maintenance-free control run of the same feed."""
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.streaming import run_stream
+
+    cfg = PipelineConfig(
+        n_buckets=8, write_mode="delta", commit_protocol="cas",
+        max_files_per_trigger=1,
+    )
+    feed_dir = str(tmp_path / "feed")
+    write_feed_files(spark, feed_dir, 2400, files=6)
+
+    # control: same feed, no maintenance
+    ctl = SnapshotTable.create(str(tmp_path / "ctl"), n_buckets=8,
+                               commit_protocol="cas")
+    run_stream(spark, feed_dir, ctl.path, str(tmp_path / "ck0"), cfg)
+    want = _engine_state(spark, SnapshotTable(ctl.path))
+
+    path = str(tmp_path / "t")
+    SnapshotTable.create(path, n_buckets=8, commit_protocol="cas")
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def maintainer():
+        try:
+            while not stop.is_set():
+                maintain_once(spark, path, max_deltas=0, retention_s=3600)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    tm = threading.Thread(target=maintainer)
+    tm.start()
+    try:
+        run_stream(spark, feed_dir, path, str(tmp_path / "ck1"), cfg)
+    finally:
+        stop.set()
+        tm.join(600)
+    assert not errors, errors
+    assert _engine_state(spark, SnapshotTable(path)) == want
