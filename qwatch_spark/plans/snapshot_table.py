@@ -848,7 +848,16 @@ class SnapshotTable:
         last_op (their own history was folded away by an earlier
         compaction — recorded truth beats reconstruction there).
         Post-compaction, cow and delta tables agree row-for-row on
-        last_op (tested in test_delta_mode). The per-epoch METRICS rows
+        last_op for in-order feeds (tested in test_delta_mode +
+        property-tested over random in-order epochings). One honest
+        divergence: cow classifies I-vs-U against the table state in
+        ARRIVAL order, while reconstruction uses EVENT-TIME order — so
+        for a key whose winner arrived in an earlier epoch than an
+        older (late) event, cow says what happened at apply time and
+        the repaired value says what the event-time history implies.
+        A WAL tail is in order, so the normal CDC case never hits
+        this; when it does, the repaired value is the event-time
+        truth. The per-epoch METRICS rows
         appended at apply time are immutable history and keep the
         coarse delta semantics (n_insert=0) — documented in
         schema.METRICS_SCHEMA; consumers wanting exact I/U splits read

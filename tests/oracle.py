@@ -61,3 +61,41 @@ def oracle_final_pages(
             text = row.get("text")
         out[url] = (row["warc_ts"], row.get("html"), text, row.get("lang"))
     return out
+
+
+def oracle_final_ops(
+    epochs: list[list[dict]], cfg: PipelineConfig | None = None
+) -> dict[str, str]:
+    """url → final last_op ('I'/'U'/'D') replaying the given epoching:
+    per epoch, the (warc_ts, seq) winner per url applies against the
+    state before the epoch (absent/tombstoned → I, live → U, delete →
+    D); late winners (older than current state) are ignored. Matches
+    the engine's cow classification — and the compaction-repaired delta
+    classification whenever the epoching is in event-time order."""
+    cfg = cfg or PipelineConfig()
+    state: dict[str, dict] = {}
+    ops: dict[str, str] = {}
+    for rows in epochs:
+        winners: dict[str, dict] = {}
+        for row in rows:
+            if not _passes_rules(row, cfg):
+                continue
+            cur = winners.get(row["url"])
+            if cur is None or (row["warc_ts"], row["seq"]) >= (
+                cur["warc_ts"], cur["seq"]
+            ):
+                winners[row["url"]] = row
+        for url, row in winners.items():
+            cur = state.get(url)
+            if cur is not None and (row["warc_ts"], row["seq"]) < (
+                cur["warc_ts"], cur["seq"]
+            ):
+                continue  # late winner loses to current state
+            if row["op"] == "D":
+                ops[url] = "D"
+            elif cur is None or cur["op"] == "D":
+                ops[url] = "I"
+            else:
+                ops[url] = "U"
+            state[url] = row
+    return ops

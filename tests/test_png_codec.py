@@ -102,3 +102,44 @@ def test_resize_nearest_shapes_and_identity():
     small = resize_nearest(px, 4, 3)
     assert small.shape == (3, 4, 3)
     assert (small == px[::2, ::2]).all()  # exact 2x decimation
+
+
+# ---- property tests (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_encode_decode_round_trip(h, w, c, seed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (h, w, c) and (out == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    ow=st.integers(1, 16),
+    oh=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_resize_pixels_come_from_source(h, w, ow, oh, seed):
+    """Every resampled pixel must be an exact copy of SOME source pixel
+    (nearest-neighbor introduces no new values), and resampling is
+    deterministic."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    out = resize_nearest(px, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    src = {bytes(px[y, x]) for y in range(h) for x in range(w)}
+    assert {bytes(out[y, x]) for y in range(oh) for x in range(ow)} <= src
+    assert (resize_nearest(px, ow, oh) == out).all()
