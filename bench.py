@@ -174,6 +174,14 @@ class StreamBench(_Bench):
         )
         self.tmp = tempfile.mkdtemp(prefix="qwatch_bench_stream_", dir=_fast_dir())
         write_feed_files(spark, f"{self.tmp}/feed", n_events, files=8)
+        # warmup (excluded): the streaming runner's plan shapes (file
+        # source, foreachBatch, dead-letter probe) JIT on a small feed so
+        # trial 1 is a real sample, not a codegen warmup
+        from qwatch_spark.streaming import run_stream
+
+        write_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=2)
+        wt = SnapshotTable.create(f"{self.tmp}/warm", n_buckets=self.cfg.n_buckets)
+        run_stream(spark, f"{self.tmp}/warmfeed", wt.path, f"{self.tmp}/warmck", self.cfg)
 
     def trial(self, i: int):
         from qwatch_spark.streaming import run_stream
@@ -225,6 +233,24 @@ class EntityBench(_Bench):
             pages_per_domain=5000,
             epoch_size=max(1, n_events // 2),
             num_partitions=cpus * 2,
+        )
+        # warmup (excluded): entity routing + skeleton union + link
+        # derivation have their own plan shapes (bench_scaling learned
+        # this the hard way — single-table warmup left entity codegen in
+        # the measured window)
+        from qwatch_spark.operators.entities import (
+            apply_entity_changes,
+            create_entity_tables,
+        )
+
+        wt = create_entity_tables(
+            f"{self.tmp}/warm", self.specs, self.links, n_buckets=self.cfg.n_buckets
+        )
+        warm = gen_entity_feed_df(spark, 50_000, num_partitions=cpus).drop(
+            "epoch_hint"
+        )
+        apply_entity_changes(
+            spark, warm, self.specs, wt, 0, links=self.links, cfg=self.cfg
         )
 
     def trial(self, i: int):
