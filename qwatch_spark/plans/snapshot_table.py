@@ -913,11 +913,17 @@ class SnapshotTable:
     ) -> DataFrame:
         """Latest-wins resolution of the chosen buckets that ALSO
         reconstructs each delta-file winner's true last_op from the
-        retained history (see compact() docstring). One window sort per
-        bucket instead of read_buckets' max_by agg — compaction is
-        maintenance, and it needs the runner-up row anyway."""
-        from pyspark.sql.window import Window
+        retained history (see compact() docstring).
 
+        Physical strategy: ONE aggregation, same single shuffle as the
+        plain max_by resolution — the winner row via `max_by` (map-side
+        partial agg keeps the fat payload columns combining before the
+        exchange) plus the top-2 of a NARROW history struct (order cols
+        + is_deleted + provenance, ~40 bytes) via
+        `slice(sort_array(collect_list(...)), 1, 2)`. The per-key list
+        is bounded by the retained chain length (≤ compact_every + 1
+        rows), so no full-row window sort and no spill pressure from
+        dragging html/text through a sort."""
         schema = full_schema(self.payload_schema)
         base_paths, delta_paths = self._bucket_paths(buckets)
         if not delta_paths:
@@ -935,33 +941,37 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        w = Window.partitionBy(self.key_col).orderBy(
-            F.desc("warc_ts"), F.desc("seq"), F.desc("last_epoch")
+        key = self.key_col
+        payload = [c for c in df.columns if c not in (key, "_from_delta")]
+        row_struct = F.struct(*[F.col(c) for c in payload])
+        ord_struct = F.struct("warc_ts", "seq", "last_epoch")
+        hist_struct = F.struct(
+            "warc_ts", "seq", "last_epoch", "is_deleted", "_from_delta"
         )
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            # next row in DESC order = the key's state just before the
-            # winner (dedup guarantees one row per key per epoch)
-            .withColumn("_prev_deleted", F.lead("is_deleted").over(w))
+        agged = df.groupBy(key).agg(
+            F.max_by(row_struct, ord_struct).alias("_row"),
+            F.slice(
+                F.sort_array(F.collect_list(hist_struct), asc=False), 1, 2
+            ).alias("_top2"),
         )
+        winner_meta = F.col("_top2")[0]
+        prev = F.get(F.col("_top2"), 1)  # null-safe: no runner-up → null
         repaired_op = (
-            F.when(F.col("is_deleted"), F.lit("D"))
-            .when(
-                F.col("_prev_deleted").isNull() | F.col("_prev_deleted"),
-                F.lit("I"),
-            )
+            F.when(winner_meta["is_deleted"], F.lit("D"))
+            .when(prev.isNull() | prev["is_deleted"], F.lit("I"))
             .otherwise(F.lit("U"))
         )
-        return (
-            df.filter(F.col("_rn") == 1)
-            .withColumn(
-                "last_op",
-                F.when(F.col("_from_delta"), repaired_op).otherwise(
-                    F.col("last_op")
-                ),
-            )
-            .drop("_rn", "_prev_deleted", "_from_delta")
-        )
+        cols = [F.col(key)]
+        for c in payload:
+            if c == "last_op":
+                cols.append(
+                    F.when(winner_meta["_from_delta"], repaired_op)
+                    .otherwise(F.col("_row.last_op"))
+                    .alias("last_op")
+                )
+            else:
+                cols.append(F.col(f"_row.{c}").alias(c))
+        return agged.select(*cols)
 
     def commit_empty_epoch(self, epoch_id: int) -> None:
         """Record an epoch that produced no changes (all rows gated) —
