@@ -415,6 +415,82 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def ivf_build_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literals: int = 4096,
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet layout —
+    the physical form that makes probes partition-pruned reads instead
+    of full scans (SCALING.md's 10⁹-vector path). Layout:
+
+        path/cell=<c>/part-*.parquet   (id, embedding)
+        path/_seeds/part-*.parquet     (cell, embedding)
+
+    The seed snapshot makes probe-cell selection a driver-side numpy
+    argmax over n_cells rows — zero jobs over the corpus at query time.
+    `_seeds` is underscore-prefixed, so Spark's directory listing hides
+    it from index reads automatically."""
+    assigned = ivf_assign(
+        vectors, n_cells, id_col, vec_col,
+        max_literals=max_literals, lloyd_iters=lloyd_iters,
+    )
+    (
+        assigned.repartition(n_cells, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    seeds = (
+        vectors.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).cast("long").alias("cell"), F.col(vec_col))
+    )
+    seeds.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a built IVF index: pick the `n_probe` nearest seed cells
+    driver-side (numpy over the bounded `_seeds` snapshot, no Spark
+    job), then exact-cosine top-k over ONLY those cells' files — the
+    `cell IN (...)` filter is a partition filter, so the scan opens
+    n_probe/n_cells of the index (assert via df.inputFiles()). The
+    query arrives as a VECTOR (the ANN-serving shape); pass
+    `exclude_id` to drop a known corpus row (self-match)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    if not seed_rows:
+        raise ValueError(f"IVF index at {path} has no seeds")
+    cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
+    mat = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    sims = (mat @ q) / (
+        np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((q * q).sum())
+    )
+    # stable tie-break toward the lower cell id, like ivf_assign
+    order = np.lexsort((cells, -np.round(sims, 9)))
+    probe = [int(c) for c in cells[order][:n_probe]]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = idx.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), qarr).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

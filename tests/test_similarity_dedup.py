@@ -207,3 +207,49 @@ def test_ivf_lloyd_refinement_deterministic(emb):
     # refinement should actually move assignments off the medoid seeding
     a0 = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=8).collect()}
     assert a1 != a0
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
+    """Built IVF index: probing must read ONLY the probed cells'
+    partition directories (the 10^9-vector scale path), and the probe's
+    result must equal the in-memory ivf_topk on the same quantizer."""
+    from qwatch_spark.operators.similarity import ivf_build_index, ivf_probe_topk
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = ivf_probe_topk(
+        spark, path, qvec, k=10, n_probe=2, exclude_id=0
+    )
+    # partition pruning: the cell IN (...) predicate must land in the
+    # scan's PartitionFilters (inputFiles() ignores partition filters,
+    # so assert on the physical plan)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"no partition filter on cell:\n{plan}"
+    want = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_topk(emb, 0, k=10, n_cells=8, n_probe=2).collect()
+    }
+    res = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    assert res == want
+
+
+def test_ivf_probe_empty_index_raises(spark, tmp_path, emb):
+    from qwatch_spark.operators.similarity import ivf_build_index, ivf_probe_topk
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8)
+    import shutil
+
+    shutil.rmtree(f"{path}/_seeds")
+    emb.limit(0).select(
+        F.lit(0).alias("cell"), "embedding"
+    ).write.parquet(f"{path}/_seeds")
+    with pytest.raises(ValueError, match="no seeds"):
+        ivf_probe_topk(spark, path, [0.0] * 64, k=5)
