@@ -259,3 +259,139 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     for b in bits[1:]:
         expr = expr + b
     return agg.select("doc_id", expr.cast("int").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair/edge DataFrame — the step that
+    turns near-duplicate PAIRS into duplicate CLUSTERS (the MinHash-LSH
+    dedup pipeline's final reduce; no reference analog — qwatch has no
+    dedup at all).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Every node starts labeled with itself; each round, (1) a node
+    adopts the minimum label in its closed neighborhood, then (2) a
+    path-halving hop replaces each node's label by its LABEL's label
+    (labels only shrink, so the hop is safe and compresses chains
+    geometrically). Propagation alone needs O(diameter) rounds — a
+    sparse random graph's tree-ish components easily exceed 20 — while
+    the jump makes it O(log diameter). Stops when a round changes
+    nothing, or raises at `max_iter` (silent truncation would mislabel
+    components).
+
+    Scale shape: each round is two equi-joins (labels ⋈ edges on the
+    node id; labels ⋈ labels for the jump) + one map-side-combinable
+    min aggregation — no collects, no windows; the edge set is reused
+    each round. Labels are materialized to parquet per round (the
+    iterative-algorithm exception to the no-persist rule) — NOT
+    `localCheckpoint`, which truncates the plan but PRESERVES the
+    origin plan's statistics: with 2-3 self-referencing joins per round
+    the carried `sizeInBytes` exponentiates (measured: 9,000+ decimal
+    digits by round 8, at which point Catalyst's stats visitor spends
+    minutes inside BigInteger multiplication). The parquet round-trip
+    resets stats to real file sizes and is the portable shape for
+    cluster-scale iterative label propagation anyway. The convergence
+    probe is a count of changed labels (one action per round).
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = pairs.sparkSession
+    ckdir = tempfile.mkdtemp(prefix="qwatch_cc_")
+
+    def materialize(df: DataFrame) -> DataFrame:
+        p = f"{ckdir}/{uuid.uuid4().hex}"
+        df.write.parquet(p)
+        return spark.read.parquet(p)
+
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    edges = materialize(edges)  # read repeatedly: one scan-ready copy
+    labels = materialize(
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump (path halving): component := label(component).
+        # Labels only ever shrink toward the component min, so the hop
+        # can never overshoot — it just compresses label chains.
+        lbl = propagated.select(
+            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+        )
+        jumped = propagated.join(
+            lbl, propagated.component == F.col("_ln"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
+            ).alias("component"),
+        )
+        new_labels = materialize(
+            jumped.alias("n")
+            .join(
+                labels.select(
+                    F.col("node").alias("_on"), F.col("component").alias("_oc")
+                ),
+                F.col("n.node") == F.col("_on"),
+            )
+            .select(
+                "node",
+                F.col("n.component").alias("component"),
+                (F.col("n.component") < F.col("_oc")).alias("_changed"),
+            )
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            # final result must survive the temp-dir cleanup below
+            out = labels.localCheckpoint(eager=True)
+            shutil.rmtree(ckdir, ignore_errors=True)
+            return out
+    shutil.rmtree(ckdir, ignore_errors=True)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """The dedup pipeline's final select: one canonical document per
+    near-dup cluster (the minimum id — deterministic and join-free to
+    pick once components are labeled) plus every document that appears
+    in no pair. Anti-join on the non-canonical cluster members, so the
+    corpus scan stays one pass."""
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

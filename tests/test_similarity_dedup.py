@@ -253,3 +253,81 @@ def test_ivf_probe_empty_index_raises(spark, tmp_path, emb):
     ).write.parquet(f"{path}/_seeds")
     with pytest.raises(ValueError, match="no seeds"):
         ivf_probe_topk(spark, path, [0.0] * 64, k=5)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graph: Spark min-label propagation must produce
+    exactly the python union-find's min-id components."""
+    import random
+
+    from qwatch_spark.operators.dedup_text import connected_components
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    # union-find roots are min ids because union always parents the max
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_connected_components_on_real_near_dups(docs, spark):
+    """End-to-end dedup pipeline: LSH near-dup pairs → components →
+    canonical selection keeps exactly one doc per cluster plus all
+    unpaired docs."""
+    from qwatch_spark.operators.dedup_text import (
+        connected_components,
+        dedup_keep_canonical,
+        near_dup_pairs,
+    )
+
+    subset = docs.filter(F.col("doc_id") < 120)
+    pairs = near_dup_pairs(subset, n_hashes=16, band_size=4, threshold=0.7)
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    want = _union_find(edge_list)
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert comps == want
+
+    kept = dedup_keep_canonical(subset, pairs, src_col="doc_a", dst_col="doc_b")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in subset.select("doc_id").collect()}
+    clustered = set(want)
+    canonicals = set(want.values())
+    assert kept_ids == (all_ids - clustered) | canonicals
+    assert len(edge_list) > 0  # the fixture actually exercises clustering
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from qwatch_spark.operators.dedup_text import connected_components
+
+    path_edges = [(i, i + 1) for i in range(400)]  # diameter 400
+    df = spark.createDataFrame(path_edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
