@@ -68,7 +68,33 @@ def _near_dup_bounded(spark, sf_dir):
     return near_dup_pairs(docs, n_hashes=16, band_size=4, threshold=0.5)
 
 
-EXTRA_BENCH = {"near_dup_refine_500docs": _near_dup_bounded}
+def _ivf_probe(spark, sf_dir):
+    """Build the cell-partitioned IVF index once, then time the
+    partition-pruned probe (the ANN serving path): probe scan opens
+    n_probe/n_cells of the index."""
+    import tempfile
+
+    from qwatch_spark.operators.similarity import ivf_build_index, ivf_probe_topk
+
+    if not hasattr(_ivf_probe, "path"):
+        _ivf_probe.path = tempfile.mkdtemp(
+            prefix="qwatch_bench_ivf_", dir=_fast_dir()
+        )
+        emb = q.ld(spark, sf_dir, "embeddings")
+        ivf_build_index(emb, _ivf_probe.path, n_cells=8)
+        _ivf_probe.qvec = [
+            float(x)
+            for x in emb.filter(emb.vec_id == 0).first()["embedding"]
+        ]
+    return ivf_probe_topk(
+        spark, _ivf_probe.path, _ivf_probe.qvec, k=10, n_probe=2, exclude_id=0
+    )
+
+
+EXTRA_BENCH = {
+    "near_dup_refine_500docs": _near_dup_bounded,
+    "ivf_probe_partition_pruned": _ivf_probe,
+}
 
 
 def force(df) -> None:
