@@ -85,6 +85,15 @@ class PipelineConfig:
     # (None = inline). Size ≥ n_buckets/32 once n_buckets is large:
     # per-epoch manifest cost becomes O(touched buckets)
     manifest_shards: int | None = None
+    # maintain the fingerprint bloom side index (plans/fp_bloom.py) so
+    # exact_dup_gate's cross-epoch check costs O(batch) instead of a
+    # per-epoch narrow table scan + dedup shuffle; enabling it on an
+    # existing table triggers a one-time rebuild
+    fp_index: bool = False
+    # bloom-hit candidate cap: a batch with more bloom-hit fingerprints
+    # (or candidate owner keys) than this falls back to the full
+    # anti-join, which is cheaper at that density anyway
+    fp_cand_cap: int = 200_000
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]

@@ -57,6 +57,30 @@ class ApplyStats:
         return self.n_events / max(self.wall_ms, 1) * 1000.0
 
 
+def _maybe_append_fp_segment(
+    table: SnapshotTable,
+    cfg: PipelineConfig,
+    written: DataFrame,
+    epoch_id: int,
+    n_events: int,
+) -> None:
+    """Append this epoch's fingerprints to the bloom side index, from the
+    just-written (page-cached) epoch files. Runs BEFORE the manifest
+    swap: a crash between segment and commit leaves a harmless superset
+    orphan, while the reverse order could lose fingerprints and let a
+    duplicate re-enter later."""
+    if not (cfg.fp_index and "exact_dup_gate" in cfg.rules):
+        return
+    from qwatch_spark.operators.rules import FP_COL
+    from qwatch_spark.plans.fp_bloom import FpBloomIndex
+
+    idx = FpBloomIndex(table.path)
+    if not idx.enabled() or FP_COL not in written.columns:
+        return
+    fps = written.filter(F.col(FP_COL).isNotNull()).select(FP_COL)
+    idx.append_segment(fps, FP_COL, epoch_id, n_events)
+
+
 def merge_cdc(
     current: DataFrame,
     updates: DataFrame,
@@ -140,6 +164,14 @@ def apply_changes(
             )
         if FP_COL not in batch.columns:
             batch = batch.withColumn(FP_COL, F.lit(None).cast("string"))
+        if cfg.fp_index:
+            from qwatch_spark.plans.fp_bloom import FpBloomIndex
+
+            if not FpBloomIndex(table.path).enabled():
+                # one-time enablement (new table: trivial; existing
+                # table: one narrow live-rows scan) — after this the
+                # gate's cross-epoch check is O(batch) per epoch
+                FpBloomIndex(table.path).rebuild(spark, table)
 
     payload_cols = [f.name for f in evolved_payload.fields]
     envelope = ["op", "seq"]
@@ -253,6 +285,9 @@ def apply_changes(
                 }
                 for r in per_b
             ]
+            _maybe_append_fp_segment(
+                table, cfg, spark.read.parquet(out), epoch_id, n_events
+            )
             table.commit_prewritten_delta(
                 touched, epoch_id, evolved_payload, new_version, vtoken, zmaps
             )
@@ -297,6 +332,7 @@ def apply_changes(
             merged = merge_cdc(
                 current, updates.drop("_b"), epoch_id, payload_cols, key=key
             )
+            _maybe_append_fp_segment(table, cfg, updates, epoch_id, n_events)
             table.commit_epoch(merged, touched, epoch_id, evolved_payload, zmaps)
             phases["merge_commit"] = time.time() - t
 

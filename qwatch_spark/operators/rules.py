@@ -125,36 +125,117 @@ def rule_exact_dup_gate(
     )
     table = (ctx or {}).get("table")
     if table is not None and FP_COL in {f.name for f in table.payload_schema.fields}:
-        key = table.key_col
-        # Cost note, stated honestly: this scans the WHOLE table's
-        # (key, _fp, order, is_deleted) columns each epoch — with
-        # `columns=` pruning the scan and merge-on-read shuffle carry
-        # ~50 bytes/row (never text/html), but per-epoch cost still grows
-        # with table row count, not batch size. Enabling this gate trades
-        # the delta path's O(batch) apply for cross-epoch exact dedup; at
-        # 10^10 rows budget a narrow-columns table pass per epoch, or run
-        # the gate on a coarser cadence than the apply.
-        existing = (
-            table.read_buckets(
-                ctx["spark"], include_deleted=False, columns=[FP_COL]
-            )
-            .select(F.col(key).alias("_fp_owner"), FP_COL)
-            .filter(F.col(FP_COL).isNotNull())
-        )
-        # live fingerprints are unique (gate invariant), so this left
-        # join matches at most one owner per row — no fan-out. Skip the
-        # table scan entirely when the batch has no non-delete survivors
-        # (fully-gated epochs are common; isEmpty probes one partition of
-        # the small batch vs a full narrow-columns table pass).
-        if not kept.isEmpty():
-            kept = (
-                kept.join(existing, FP_COL, "left")
-                .filter(
-                    F.col("_fp_owner").isNull() | (F.col("_fp_owner") == F.col(key))
-                )
-                .drop("_fp_owner")
-            )
+        from qwatch_spark.plans.fp_bloom import FpBloomIndex
+
+        idx = FpBloomIndex(table.path)
+        if idx.enabled():
+            # O(batch) path: bloom misses are definitely-new (no table
+            # I/O at all); only hits pay bounded point lookups
+            kept = _bloom_pruned_owner_check(ctx["spark"], table, idx, kept, cfg)
+        elif not kept.isEmpty():
+            # no index: full narrow-columns anti-join. Cost note, stated
+            # honestly: this scans the WHOLE table's (key, _fp, order,
+            # is_deleted) columns each epoch and pays the merge-on-read
+            # dedup shuffle — per-epoch cost grows with table row count.
+            # Set PipelineConfig.fp_index=True to move that cost into
+            # the maintenance-cadence bloom rebuild.
+            kept = _full_table_owner_check(ctx["spark"], table, kept)
     return kept.unionByName(dels)
+
+
+def _owner_anti_join(kept: DataFrame, existing: DataFrame, key: str) -> DataFrame:
+    """Drop kept rows whose fingerprint is live on a DIFFERENT key.
+    Live fingerprints are unique (gate invariant), so the left join
+    matches at most one owner per row — no fan-out."""
+    return (
+        kept.join(existing, FP_COL, "left")
+        .filter(F.col("_fp_owner").isNull() | (F.col("_fp_owner") == F.col(key)))
+        .drop("_fp_owner")
+    )
+
+
+def _full_table_owner_check(spark, table, kept: DataFrame) -> DataFrame:
+    existing = (
+        table.read_buckets(spark, include_deleted=False, columns=[FP_COL])
+        .select(F.col(table.key_col).alias("_fp_owner"), FP_COL)
+        .filter(F.col(FP_COL).isNotNull())
+    )
+    return _owner_anti_join(kept, existing, table.key_col)
+
+
+def _bloom_pruned_owner_check(
+    spark, table, idx, kept: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Cross-epoch owner check that never scans the table for new
+    content. Three stages, each bounded:
+
+    1. probe the bloom segments (vectorized pandas UDF, executor-cached
+       bit arrays): a miss is DEFINITELY new — zero candidates means the
+       epoch finishes with zero table I/O, the common case for a crawl
+       feed that is mostly fresh content;
+    2. collect the candidate fingerprints (capped at cfg.fp_cand_cap —
+       a batch where most content bloom-hits, e.g. a full-replay epoch,
+       falls back to the full anti-join, which is cheaper there anyway);
+    3. exact check: a shuffle-free narrow `read_raw` finds keys that
+       EVER wrote a candidate fingerprint (compaction keeps every live
+       (key, fp) pair, so live owners are always found), then a
+       bucket-pruned `read_buckets` over only those keys' hash buckets
+       resolves their LATEST rows; the surviving (owner, fp) pairs are
+       broadcast into the usual owner-aware anti-join.
+
+    The kept-batch plan is evaluated twice (once to collect candidates,
+    once downstream); the second run reuses the dedup stage's shuffle
+    files, so the rerun is map-stage-free."""
+    cap = cfg.fp_cand_cap
+    flagged = kept.withColumn("_cand", idx.maybe_member(F.col(FP_COL)))
+    cand_rows = (
+        flagged.filter(F.col("_cand"))
+        .select(FP_COL)
+        .limit(cap + 1)
+        .collect()
+    )
+    if not cand_rows:
+        return kept  # every fingerprint definitely new: no table I/O
+    if len(cand_rows) > cap:
+        return _full_table_owner_check(spark, table, kept)
+    cand_fps = sorted({r[FP_COL] for r in cand_rows})
+    key = table.key_col
+    owner_keys = [
+        r[0]
+        for r in table.read_raw(spark, columns=[FP_COL])
+        .filter(F.col(FP_COL).isin(cand_fps))
+        .select(key)
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    ]
+    if not owner_keys:
+        return kept  # pure bloom false positives
+    if len(owner_keys) > cap:
+        return _full_table_owner_check(spark, table, kept)
+    # hash buckets of the candidate owners, computed with the writer's
+    # own JVM xxhash64 (one local job — Python never re-implements it)
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(k,) for k in owner_keys], f"{key} string")
+            .select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(table.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    existing = (
+        table.read_buckets(
+            spark, buckets=buckets, include_deleted=False, columns=[FP_COL]
+        )
+        .filter(F.col(key).isin(owner_keys) & F.col(FP_COL).isin(cand_fps))
+        .select(F.col(key).alias("_fp_owner"), FP_COL)
+    )
+    return _owner_anti_join(kept, F.broadcast(existing), key)
 
 
 RULE_REGISTRY: dict[str, Rule] = {

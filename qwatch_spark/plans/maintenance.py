@@ -55,6 +55,15 @@ def maintain_once(
         table = SnapshotTable(table_path)  # rebase before vacuum
     if vacuum_enabled:
         out["vacuumed"] = len(table.vacuum(retention_s=retention_s))
+    from qwatch_spark.plans.fp_bloom import FpBloomIndex
+
+    idx = FpBloomIndex(table_path)
+    if idx.enabled():
+        # consolidate per-epoch bloom segments and shed dead
+        # fingerprints; the one O(live rows) scan the fingerprint gate
+        # still needs runs HERE, at maintenance cadence, not per epoch
+        idx.rebuild(spark, SnapshotTable(table_path))
+        out["fp_index_rebuilt"] = True
     return out
 
 

@@ -555,6 +555,31 @@ class SnapshotTable:
         df = self.read_buckets(spark, include_deleted=include_deleted)
         return df.select(*[f.name for f in self.payload_schema.fields])
 
+    def read_raw(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """UNRESOLVED history scan: base ∪ delta rows with NO latest-wins
+        dedup — every version of every key still referenced by the
+        manifest. For "did any key EVER write this value" consumers (the
+        fingerprint gate's candidate-owner probe, lineage audits): a
+        pure columnar scan with zero shuffle, where read_buckets would
+        pay a full dedup exchange. `columns` prunes to key + the named
+        columns before anything else."""
+        schema = full_schema(self.payload_schema)
+        base_paths, delta_paths = self._bucket_paths(buckets, None)
+        paths = base_paths + delta_paths
+        if not paths:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        if columns is not None:
+            need = dict.fromkeys([self.key_col, *columns])
+            df = df.select(*[c for c in need if c in df.columns])
+        return df
+
     def read_version(
         self, spark: SparkSession, version: int, include_deleted: bool = False
     ) -> DataFrame:

@@ -1,0 +1,235 @@
+"""Fingerprint bloom side index (plans/fp_bloom.py): the O(batch)
+cross-epoch exact-dup gate must decide IDENTICALLY to the full
+table-scan anti-join it replaces, skip table I/O entirely for all-new
+batches, survive enablement on a table with history, consolidation at
+maintenance time, and superset orphan segments."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from qwatch_spark.config import PipelineConfig
+from qwatch_spark.operators.apply import apply_changes
+from qwatch_spark.plans.fp_bloom import FpBloomIndex, _Bloom, _fp_words
+from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+TS = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+
+PAGE_A = (
+    b"<html><body>"
+    + b"the quick brown fox jumps over the lazy dog and runs far away " * 4
+    + b"</body></html>"
+)
+PAGE_B = (
+    b"<html><body>"
+    + b"a different page of words and the finest content of the web " * 4
+    + b"</body></html>"
+)
+PAGE_C = (
+    b"<html><body>"
+    + b"yet another body of plain readable text that scores well enough " * 4
+    + b"</body></html>"
+)
+
+FEED = (
+    "seq long, op string, url string, warc_ts timestamp, html binary, "
+    "lang string, source string"
+)
+
+RULES = ("valid_url", "lang_gate", "extract_text", "exact_dup_gate")
+
+
+def cfg(fp_index: bool, write_mode: str = "cow") -> PipelineConfig:
+    return PipelineConfig(
+        n_buckets=4, rules=RULES, fp_index=fp_index, write_mode=write_mode
+    )
+
+
+def apply(spark, table, rows, epoch, c):
+    return apply_changes(
+        spark, spark.createDataFrame(rows, FEED), table, epoch, c
+    )
+
+
+def final_state(spark, table):
+    return sorted(
+        (r["url"], r["warc_ts"], r["text"]) for r in table.read(spark).collect()
+    )
+
+
+# the scenario feed: cross-epoch exact dup, a key refreshing its own
+# unchanged content (must merge), a delete followed by the deleted
+# content re-entering on another key (must re-enter), plus fresh pages
+EPOCHS = [
+    [
+        (1, "I", "https://a.ex/1", TS(1), PAGE_A, "en", "s"),
+        (2, "I", "https://a.ex/2", TS(2), PAGE_B, "en", "s"),
+    ],
+    [
+        (3, "I", "https://a.ex/dup", TS(3), PAGE_A, "en", "s"),  # cross-epoch dup
+        (4, "U", "https://a.ex/2", TS(4), PAGE_B, "en", "s"),  # self-refresh
+        (5, "I", "https://a.ex/3", TS(5), PAGE_C, "en", "s"),
+    ],
+    [
+        (6, "D", "https://a.ex/1", TS(6), None, None, "s"),  # tombstone A
+    ],
+    [
+        (7, "I", "https://a.ex/4", TS(7), PAGE_A, "en", "s"),  # re-enter after D
+    ],
+]
+
+
+def run_epochs(spark, path, c):
+    t = SnapshotTable.create(path, n_buckets=4)
+    for e, rows in enumerate(EPOCHS):
+        apply(spark, t, rows, e, c)
+    return t
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate():
+    rng = np.random.default_rng(7)
+
+    def mk(n):  # full-128-bit entropy, like real md5 digests
+        return [
+            "%016x%016x" % (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, 1 << 63, n), rng.integers(0, 1 << 63, n)
+            )
+        ]
+
+    members, others = mk(10_000), mk(10_000)
+    b = _Bloom(1 << 18)  # 16 bits/key at n=16k
+    b.add_many(*_fp_words(members))
+    assert b.test_many(*_fp_words(members)).all(), "false negative"
+    fp_rate = b.test_many(*_fp_words(others)).mean()
+    assert fp_rate < 0.02, fp_rate
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_bloom_gate_decides_identically_to_full_scan(spark, tmp_path, write_mode):
+    t_off = run_epochs(spark, str(tmp_path / "off"), cfg(False, write_mode))
+    t_on = run_epochs(spark, str(tmp_path / "on"), cfg(True, write_mode))
+    assert final_state(spark, t_on) == final_state(spark, t_off)
+    urls = sorted(u for u, _, _ in final_state(spark, t_on))
+    # dup never entered; tombstoned key gone; re-entry after delete worked
+    assert urls == [
+        "https://a.ex/2",
+        "https://a.ex/3",
+        "https://a.ex/4",
+    ]
+    assert FpBloomIndex(t_on.path).enabled()
+    assert not FpBloomIndex(t_off.path).enabled()
+
+
+def test_all_new_batch_skips_table_io(spark, tmp_path, monkeypatch):
+    """With the index enabled, an epoch whose content is all-new must
+    never scan the table: on the delta write path neither read_buckets
+    nor read_raw may run during the apply."""
+    c = cfg(True, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)  # enables the index (rebuild)
+    calls = {"n": 0}
+    for name in ("read_buckets", "read_raw"):
+        orig = getattr(SnapshotTable, name)
+
+        def counted(self, *a, _orig=orig, **kw):
+            calls["n"] += 1
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(SnapshotTable, name, counted)
+    apply(
+        spark,
+        t,
+        [(9, "I", "https://a.ex/new", TS(9), PAGE_C, "en", "s")],
+        1,
+        c,
+    )
+    assert calls["n"] == 0, "all-new batch touched the table"
+    assert sorted(r["url"] for r in t.read(spark).collect()) == [
+        "https://a.ex/1",
+        "https://a.ex/2",
+        "https://a.ex/new",
+    ]
+
+
+def test_enable_on_existing_table_rebuilds_history(spark, tmp_path):
+    """Turning fp_index on mid-life: the one-time rebuild must cover
+    fingerprints ingested BEFORE enablement, so an old page's duplicate
+    is still rejected afterwards."""
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, cfg(False))
+    c = cfg(True)
+    apply(
+        spark,
+        t,
+        [(10, "I", "https://a.ex/dup", TS(10), PAGE_A, "en", "s")],
+        1,
+        c,
+    )
+    assert sorted(r["url"] for r in t.read(spark).collect()) == [
+        "https://a.ex/1",
+        "https://a.ex/2",
+    ]
+
+
+def test_maintenance_rebuild_consolidates_segments(spark, tmp_path):
+    from qwatch_spark.plans.maintenance import maintain_once
+
+    c = cfg(True, "delta")
+    t = run_epochs(spark, str(tmp_path / "t"), c)
+    idx = FpBloomIndex(t.path)
+    assert any(
+        os.path.basename(p).startswith("seg-e") for p in idx.segment_paths()
+    )
+    out = maintain_once(spark, t.path, retention_s=0)
+    assert out["fp_index_rebuilt"]
+    names = [os.path.basename(p) for p in idx.segment_paths()]
+    assert len(names) == 1 and names[0].startswith("full-w"), names
+    # gate still correct through the consolidated filter
+    apply(
+        spark,
+        t,
+        [(20, "I", "https://a.ex/dup2", TS(20), PAGE_B, "en", "s")],
+        len(EPOCHS),
+        c,
+    )
+    assert "https://a.ex/dup2" not in {
+        r["url"] for r in t.read(spark).collect()
+    }
+
+
+def test_orphan_superset_segment_is_harmless(spark, tmp_path):
+    """A crashed writer's segment (fps never committed) only ADDS bloom
+    hits; the exact check finds no live owner and the rows ingest."""
+    c = cfg(True, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)
+    idx = FpBloomIndex(t.path)
+    rng = np.random.default_rng(3)
+    orphan = _Bloom(1 << 13)
+    # saturate a fake segment so EVERYTHING bloom-hits it
+    orphan.add_many(
+        *_fp_words(["%032x" % int(x) for x in rng.integers(0, 1 << 63, 5000)])
+    )
+    idx._write_filter("seg-e999-deadbeef.npz", orphan)
+    apply(
+        spark,
+        t,
+        [(30, "I", "https://a.ex/fresh", TS(8), PAGE_C, "en", "s")],
+        1,
+        c,
+    )
+    assert "https://a.ex/fresh" in {r["url"] for r in t.read(spark).collect()}
+
+
+def test_candidate_cap_falls_back_to_full_scan(spark, tmp_path):
+    """fp_cand_cap=0 forces every bloom hit over the cap — the gate must
+    fall back to the full anti-join and still decide correctly."""
+    c = PipelineConfig(n_buckets=4, rules=RULES, fp_index=True, fp_cand_cap=0)
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)
+    apply(spark, t, EPOCHS[1], 1, c)
+    urls = sorted(r["url"] for r in t.read(spark).collect())
+    assert urls == ["https://a.ex/1", "https://a.ex/2", "https://a.ex/3"]
