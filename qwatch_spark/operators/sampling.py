@@ -1,0 +1,194 @@
+"""Training-data sampling & sequence packing — the two set-level
+operations a pretraining pipeline runs after dedup/quality gating:
+pick a deterministic weighted subset (data mixing), then pack the
+survivors into fixed-length token sequences (concat-then-chunk, the
+standard LLM pretraining layout).
+
+Beyond-reference scope: qwatch routes every event to its sink
+unconditionally (no sampling story, server/server.go:46-64); these
+operators are part of the training-data brief, not a port.
+
+Everything here is deterministic and engine-independent by
+construction — sampling decisions come from md5 of the row key (so a
+DuckDB oracle reproduces them bit-for-bit, and a re-run over re-shuffled
+partitions picks the identical subset), and the packing prefix-sum is
+exact integer arithmetic, no floats anywhere near row placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_hex_threshold(rate: float) -> str:
+    """The 8-hex-digit threshold a uniform md5 prefix is compared
+    against: P(substr(md5(x),1,8) < threshold) == rate, exactly
+    floor(rate*2^32)/2^32. Shared by the Column builder and the SQL
+    oracle generator so both engines decide identically. Hex digits all
+    sort below 'z', so 'zzzzzzzz' is the accept-everything sentinel and
+    the empty string rejects everything."""
+    if rate >= 1.0:
+        return "zzzzzzzz"
+    if rate <= 0.0:
+        return ""
+    return "%08x" % int(rate * (1 << 32))
+
+
+def _hash8(key_col: str, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(seed))), 1, 8
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by a
+    deterministic per-key coin: substr(md5(key|seed),1,8) < threshold.
+
+    Scale shape: a pure narrow filter — no shuffle, no sampling RNG
+    state, pushdown-friendly. Changing `seed` redraws every coin;
+    changing one stratum's rate UPWARD keeps the previous subset and
+    only adds rows (thresholds are nested), which is exactly what you
+    want when re-mixing a 100 TB corpus incrementally."""
+    thr: Column = F.lit(rate_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = (
+            F.when(F.col(strata_col) == value, F.lit(rate_hex_threshold(rate)))
+            .otherwise(thr)
+        )
+    return df.filter(_hash8(key_col, seed) < thr)
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: str = "s0",
+    default_rate: float = 0.0,
+    select: str = "*",
+) -> str:
+    """The ANSI-SQL twin of `stratified_sample` (same thresholds via
+    `rate_hex_threshold`), for DuckDB oracle checks."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{rate_hex_threshold(r)}'"
+        for v, r in sorted(rates.items())
+    )
+    return (
+        f"SELECT {select} FROM {table} "
+        f"WHERE substr(md5(concat(CAST({key_col} AS VARCHAR), '|', '{seed}')), 1, 8) "
+        f"< CASE {strata_col} {cases} ELSE '{rate_hex_threshold(default_rate)}' END"
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "prefix_sum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of `value_col` in `order_col` order, without
+    ever collapsing the data to one partition.
+
+    The naive window (`ORDER BY order_col ROWS UNBOUNDED PRECEDING`
+    with no PARTITION BY) plans a single-partition sort — the classic
+    100×-scale-up killer. This is the textbook two-phase distributed
+    scan instead:
+
+    1. derive a DETERMINISTIC contiguous range id `_pid` from the order
+       value itself (fixed-width buckets between min and max — one cheap
+       agg job; no RangePartitioner sampling, so re-runs and the
+       totals/placement jobs can never disagree about boundaries);
+    2. one small map-side-combined aggregation gets each range's total;
+       the driver folds the P totals into exclusive offsets (P = a few
+       hundred numbers, not data);
+    3. each range computes its LOCAL running sum in parallel (window
+       partitioned by `_pid`) and adds its broadcast offset.
+
+    One data shuffle total (the per-range window), exact integer
+    arithmetic throughout. Skew caveat: ranges are equal-width in the
+    order VALUE, so a dense hotspot in `order_col` concentrates rows —
+    ideal for dense ids (doc_id), acceptable for timestamps, wrong for
+    zipfian keys (re-map those to a rank first)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+    lo, hi = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_parts + 1)
+    pid = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("long")
+    with_pid = df.withColumn("_pid", pid)
+    totals = sorted(
+        with_pid.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_tot"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((int(r["_pid"]), running))
+        running += int(r["_tot"])
+    off_df = spark.createDataFrame(offsets, "_pid long, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(value_col).cast("long")).over(w), F.lit(0))
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (local + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    order_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing: lay every document's tokens end to end
+    in `order_col` order and cut the stream every `seq_len` tokens —
+    each doc learns which packed sequences it lands in and at what
+    offset. (The standard GPT-style pretraining layout: no padding
+    waste, docs may straddle chunk boundaries; attention masking at the
+    boundaries is the trainer's concern, placement is ours.)
+
+    Built on `global_prefix_sum`, so the only data shuffle is the
+    per-range window; all chunk math is integer DIV/MOD on longs —
+    exact past 2^53 tokens, where double arithmetic would misplace
+    documents."""
+    tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
+    base = docs.select(F.col(order_col), tok.cast("long").alias("n_tok"))
+    placed = global_prefix_sum(
+        base, "n_tok", order_col, out_col="start_tok", n_parts=n_parts
+    )
+    s = int(seq_len)
+    return placed.select(
+        order_col,
+        "n_tok",
+        "start_tok",
+        F.expr(f"start_tok DIV {s}").alias("pack_first"),
+        F.expr(f"greatest(start_tok, start_tok + n_tok - 1) DIV {s}").alias(
+            "pack_last"
+        ),
+        (F.col("start_tok") % F.lit(s)).alias("pack_offset"),
+    )

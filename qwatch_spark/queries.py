@@ -1483,6 +1483,90 @@ GROUP BY d.dom, d.registrar, l.n_linked_pages
 
 
 # --------------------------------------------------------------------------
+# training-data mixing & packing (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}
+SAMPLE_SEED = "mix-v1"
+SAMPLE_DEFAULT = 0.1
+
+
+def q55_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum data mixing: keep each document with
+    its language's probability, decided by md5(doc_id|seed) — a pure
+    narrow filter (no shuffle, no RNG state), reproduced bit-for-bit by
+    the SQL oracle because both engines compare the same md5 prefix to
+    the same thresholds. Upweighting a stratum later only ADDS rows
+    (nested thresholds), the property incremental corpus re-mixes need."""
+    from qwatch_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        ld(spark, sf_dir, "documents"),
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        key_col="doc_id",
+        seed=SAMPLE_SEED,
+        default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+def _sample_sql() -> str:
+    from qwatch_spark.operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "documents",
+        strata_col="lang",
+        rates=SAMPLE_RATES,
+        key_col="doc_id",
+        seed=SAMPLE_SEED,
+        default_rate=SAMPLE_DEFAULT,
+        select="doc_id, lang, source",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = _sample_sql()
+
+PACK_SEQ_LEN = 512
+
+
+def q56_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (GPT-style pretraining
+    layout): every document's placement in the packed token stream —
+    start offset, first/last chunk, offset within its first chunk.
+    The global exclusive prefix sum underneath is the two-phase
+    distributed scan (deterministic range ids from the order value, one
+    small totals agg, per-range windows + broadcast offsets) — never a
+    single-partition global window; chunk math is integer DIV/MOD on
+    longs, exact past 2^53 tokens."""
+    from qwatch_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        ld(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN, order_col="doc_id"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tok, start_tok,
+       start_tok // {PACK_SEQ_LEN} AS pack_first,
+       greatest(start_tok, start_tok + n_tok - 1) // {PACK_SEQ_LEN} AS pack_last,
+       start_tok % {PACK_SEQ_LEN} AS pack_offset
+FROM placed
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1505,7 +1589,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q18_scd2_intervals": (q18_scd2_intervals, SQL_SCD2),
     "q19_topk_per_group": (q19_topk_per_group, SQL_TOPK_PER_GROUP),
     "q20_running_sum": (q20_running_sum, SQL_RUNNING_SUM),
-    "q21_sort_limit": (q21_sort_limit, SQL_SORT_LIMIT),
     "q22_except_keys": (q22_except_keys, SQL_EXCEPT_KEYS),
     "q23_union_branches": (q23_union_branches, SQL_UNION_BRANCHES),
     "q24_explode_wordcount": (q24_explode_wordcount, SQL_EXPLODE_WORDCOUNT),
@@ -1531,12 +1614,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q44_percentiles": (q44_percentiles, SQL_PERCENTILES),
     "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
     "q47_tfidf": (q47_tfidf, SQL_TFIDF),
-    "q48_intersect_keys": (q48_intersect_keys, SQL_INTERSECT_KEYS),
     "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
     "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
     "q53_winnow_fingerprints": (q53_winnow_fingerprints, SQL_WINNOW),
     "q54_local_supplier_volume": (q54_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
+    "q55_stratified_sample": (q55_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "q56_pack_sequences": (q56_pack_sequences, SQL_PACK_SEQUENCES),
 }
 
 
@@ -1554,6 +1638,13 @@ RETIRED_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q46_minhash_char_shingles": (q46_minhash_char_shingles, SQL_MINHASH_CHAR),
     # grouping-sets family already driver-covered by q42's CUBE
     "q49_rollup": (q49_rollup, SQL_ROLLUP),
+    # §2.7 sort/limit — semantics also exercised in-window by q19
+    # (top-k per group) and q45 (ordered top-revenue); slot freed for
+    # q55 stratified sampling
+    "q21_sort_limit": (q21_sort_limit, SQL_SORT_LIMIT),
+    # §2.7 set ops — EXCEPT stays in-window (q22); INTERSECT freed the
+    # slot for q56 sequence packing
+    "q48_intersect_keys": (q48_intersect_keys, SQL_INTERSECT_KEYS),
 }
 
 assert len(REGISTRY) <= 50, f"driver window is 50; registry has {len(REGISTRY)}"

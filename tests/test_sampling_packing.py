@@ -1,0 +1,135 @@
+"""Training-data mixing & packing (operators/sampling.py): the
+stratified sampler must hit its per-stratum rates deterministically and
+nest under rate increases; the distributed prefix sum must agree with a
+driver-side reference on adversarial inputs and never plan a
+single-partition global sort."""
+
+from pyspark.sql import functions as F
+
+from qwatch_spark.operators.sampling import (
+    global_prefix_sum,
+    pack_sequences,
+    rate_hex_threshold,
+    stratified_sample,
+)
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_rate_thresholds_are_exact_and_monotone():
+    assert rate_hex_threshold(0.0) == ""
+    assert rate_hex_threshold(1.0) == "zzzzzzzz"
+    assert rate_hex_threshold(0.5) == "80000000"
+    prev = ""
+    for r in (0.1, 0.25, 0.5, 0.75, 0.999):
+        cur = rate_hex_threshold(r)
+        assert cur > prev
+        prev = cur
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    picked = stratified_sample(
+        df, strata_col="g", rates={"a": 0.5, "b": 0.1}, key_col="k"
+    )
+    counts = {
+        r["g"]: r["n"]
+        for r in picked.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["a"] / (n / 2) - 0.5) < 0.03
+    assert abs(counts["b"] / (n / 2) - 0.1) < 0.03
+    assert picked.count() == picked.count()  # same coin flips every run
+
+
+def test_stratified_sample_nests_when_rate_increases(spark):
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"), F.lit("a").alias("g")
+    )
+    small = {
+        r["k"]
+        for r in stratified_sample(
+            df, "g", {"a": 0.2}, key_col="k"
+        ).collect()
+    }
+    big = {
+        r["k"]
+        for r in stratified_sample(
+            df, "g", {"a": 0.6}, key_col="k"
+        ).collect()
+    }
+    assert small <= big, "upweighting must only ADD rows"
+
+
+def test_stratified_sample_plans_no_shuffle(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("a").alias("g")
+    )
+    p = plan(stratified_sample(df, "g", {"a": 0.5}, key_col="k"))
+    assert "Exchange" not in p, p
+
+
+def test_global_prefix_sum_matches_reference(spark):
+    import random
+
+    rnd = random.Random(11)
+    # sparse, shuffled, duplicate-valued ids with gaps — exercises empty
+    # range buckets and uneven bucket occupancy
+    ids = rnd.sample(range(0, 100_000), 3_000)
+    rows = [(i, rnd.randint(0, 50)) for i in ids]
+    df = spark.createDataFrame(rows, "oid long, v long").repartition(16)
+    got = {
+        r["oid"]: r["ps"]
+        for r in global_prefix_sum(df, "v", "oid", out_col="ps").collect()
+    }
+    run = 0
+    for oid, v in sorted(rows):
+        assert got[oid] == run, (oid, got[oid], run)
+        run += v
+    assert len(got) == len(rows)
+
+
+def test_global_prefix_sum_empty_and_single(spark):
+    empty = spark.createDataFrame([], "oid long, v long")
+    assert global_prefix_sum(empty, "v", "oid").count() == 0
+    one = spark.createDataFrame([(7, 42)], "oid long, v long")
+    assert global_prefix_sum(one, "v", "oid").first()["prefix_sum"] == 0
+
+
+def test_prefix_sum_never_plans_single_partition_sort(spark):
+    """The whole point vs `ORDER BY ... ROWS UNBOUNDED PRECEDING`: no
+    SinglePartition exchange anywhere in the plan."""
+    df = spark.range(1000).select(
+        F.col("id").alias("oid"), (F.col("id") % 7).alias("v")
+    )
+    p = plan(global_prefix_sum(df, "v", "oid"))
+    assert "SinglePartition" not in p, p
+
+
+def test_pack_sequences_layout_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 700)) for i in range(1, 200)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, seq_len=512).collect()
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    run = 0
+    for r in by_id:
+        assert r["start_tok"] == run
+        assert r["pack_first"] == r["start_tok"] // 512
+        last = max(r["start_tok"], r["start_tok"] + r["n_tok"] - 1)
+        assert r["pack_last"] == last // 512
+        assert r["pack_offset"] == r["start_tok"] % 512
+        assert r["pack_last"] >= r["pack_first"]
+        run += r["n_tok"]
+    # total stream length = sum of doc lengths (no padding, no gaps)
+    assert run == sum(r["n_tok"] for r in out)
+    # long docs must straddle chunk boundaries
+    assert any(r["pack_last"] > r["pack_first"] for r in out)
