@@ -183,10 +183,14 @@ def _bloom_pruned_owner_check(
        resolves their LATEST rows; the surviving (owner, fp) pairs are
        broadcast into the usual owner-aware anti-join.
 
-    The kept-batch plan is evaluated twice (once to collect candidates,
-    once downstream); the second run reuses the dedup stage's shuffle
-    files, so the rerun is map-stage-free."""
+    The candidate probe is an eager action, so the batch pipeline up to
+    here (gates, dedup shuffle, HTML→text extraction) is materialized
+    ONCE via localCheckpoint before probing — without it the probe and
+    the downstream write would each execute the full upstream plan,
+    doubling the epoch's heaviest phase. The checkpoint is O(batch) on
+    executor storage, the same order as the write itself."""
     cap = cfg.fp_cand_cap
+    kept = kept.localCheckpoint(eager=False)
     flagged = kept.withColumn("_cand", idx.maybe_member(F.col(FP_COL)))
     cand_rows = (
         flagged.filter(F.col("_cand"))

@@ -118,6 +118,11 @@ _BOUNDED_PATTERNS = (
     r"r_regionkey",
     r"Filter \(vec_id#\d+L? = ",  # single query vector by literal id
     r"GlobalLimit",
+    # driver-materialized rows (createDataFrame): already resident on the
+    # driver, cardinality fixed by a config knob — e.g. the per-range
+    # offset table (n_parts rows) in global_prefix_sum
+    r"LocalRelation",
+    r"LogicalRDD \[_pid#\d+L, _off#\d+L\]",
 )
 
 
