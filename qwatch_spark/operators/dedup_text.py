@@ -75,18 +75,23 @@ def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     df_counts = (
         words.select(id_col, "word").distinct().groupBy("word").agg(F.count("*").alias("df"))
     )
-    n_docs = docs.count()
+    # N stays IN the plan as a broadcast 1-row aggregate instead of an
+    # eager docs.count() — the whole composition remains lazy (one job,
+    # not a driver-side count job plus the real one), and consumers that
+    # filter docs upstream get N of the filtered set for free.
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
     # No broadcast hint on df_counts: the vocabulary grows with the corpus
     # (billions of distinct terms at web scale). A plain shuffle join lets
     # AQE broadcast at runtime only when the relation actually fits.
     return (
         tf.join(df_counts, "word")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
             "word",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6).alias(
                 "tfidf"
             ),
         )

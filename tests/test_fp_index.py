@@ -233,3 +233,40 @@ def test_candidate_cap_falls_back_to_full_scan(spark, tmp_path):
     apply(spark, t, EPOCHS[1], 1, c)
     urls = sorted(r["url"] for r in t.read(spark).collect())
     assert urls == ["https://a.ex/1", "https://a.ex/2", "https://a.ex/3"]
+
+
+def test_property_bloom_equals_full_scan_on_random_feeds(spark, tmp_path):
+    """For ANY epoching of a random I/U/D feed with colliding contents,
+    the bloom-indexed gate and the full-scan gate converge to the same
+    final table (hypothesis-style seeds, run as a plain loop so each
+    example's Spark work stays visible in the test budget)."""
+    import random
+
+    pages = [PAGE_A, PAGE_B, PAGE_C]
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        rows, ts = [], 0
+        for s in range(60):
+            ts += 1
+            op = rng.choice(["I", "I", "U", "D"])
+            url = f"https://r.ex/{rng.randint(0, 12)}"
+            page = rng.choice(pages)
+            rows.append(
+                (s, op, url, TS(1 + ts % 25),
+                 None if op == "D" else page,
+                 None if op == "D" else "en", "s")
+            )
+        n_cuts = rng.randint(0, 3)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_cuts)) if n_cuts else []
+        epochs, prev = [], 0
+        for c in [*cuts, len(rows)]:
+            epochs.append(rows[prev:c])
+            prev = c
+        states = {}
+        for mode in ("off", "on"):
+            c = cfg(mode == "on", "delta")
+            t = SnapshotTable.create(str(tmp_path / f"p{seed}_{mode}"), n_buckets=4)
+            for e, batch in enumerate(ep for ep in epochs if ep):
+                apply(spark, t, batch, e, c)
+            states[mode] = final_state(spark, t)
+        assert states["on"] == states["off"], f"seed {seed} diverged"

@@ -83,10 +83,14 @@ def test_no_unbounded_broadcast_hints(spark):
     from qwatch_spark.operators.dedup_text import jaccard_pairs, near_dup_pairs, tfidf
 
     docs = q.ld(spark, SF, "documents")
-    for df in (tfidf(docs), jaccard_pairs(docs), near_dup_pairs(docs)):
+    for df in (jaccard_pairs(docs), near_dup_pairs(docs)):
         logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
         assert "UnresolvedHint" not in logical
         assert "hints=[broadcast]" not in logical.replace(" ", "").lower()
+    # tfidf's ONLY hint is the 1-row global count(N) aggregate (bounded
+    # by construction); the vocabulary df_counts side must stay unhinted
+    subs = list(_hint_subtrees(tfidf(docs)))
+    assert len(subs) == 1 and "count(1)" in subs[0], subs
 
 
 def _hint_subtrees(df):
@@ -123,6 +127,9 @@ _BOUNDED_PATTERNS = (
     # offset table (n_parts rows) in global_prefix_sum
     r"LocalRelation",
     r"LogicalRDD \[_pid#\d+L, _off#\d+L\]",
+    # a global (no grouping keys) count aggregate is 1 row by
+    # construction — tfidf's in-plan corpus size N
+    r"Aggregate \[cast\(count\(1\)",
 )
 
 
