@@ -7,8 +7,10 @@ non-interlaced 8-bit cases (grayscale, gray+alpha, RGB, RGBA), including
 all five scanline filter types, so `codec="real"` in
 qwatch_spark.operators.multimodal decodes actual pixels end-to-end.
 GIF header sniffing (logical screen dimensions) rides along for
-metadata-only decode. Formats that genuinely need external codecs
-(JPEG, video) still raise NotImplementedError at the plug points.
+metadata-only decode. Baseline JPEG lives in the sibling
+qwatch_spark.functions.jpeg; formats that genuinely need external
+codecs (video, audio) still raise NotImplementedError at the plug
+points.
 
 No reference analog — qwatch has no media path; this covers the
 training-data brief's multimodal-column requirement.

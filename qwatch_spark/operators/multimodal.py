@@ -9,11 +9,13 @@ The decode kernel is pluggable per codec:
   bytes we can generate.
 - `codec="real"` — an ACTUAL image decode, pure stdlib: PNG via
   qwatch_spark.functions.png (zlib inflate + full scanline unfiltering
-  → pixels) and GIF header sniffing for metadata. decode_metadata,
-  extract_features, and resize_images all run end-to-end real on PNG
-  bytes (resize decodes, nearest-neighbor resamples, and re-encodes a
-  valid PNG). JPEG/audio/video genuinely need external codecs and keep
-  raising NotImplementedError at the plug point.
+  → pixels), baseline JPEG via qwatch_spark.functions.jpeg (Huffman +
+  dequant + IDCT + chroma upsample → pixels), and GIF header sniffing
+  for metadata. decode_metadata, extract_features, and resize_images
+  all run end-to-end real on PNG and JPEG bytes (resize decodes,
+  nearest-neighbor resamples, and re-encodes in the same format).
+  Progressive JPEG / audio / video genuinely need external codecs and
+  keep raising NotImplementedError at the plug point.
 
 Layout of the fake media header (big-endian):
     0..4   magic b"QWMM"
@@ -98,29 +100,26 @@ def _parse_header(payload: bytes | None):
 def decode_metadata(media: DataFrame, codec: str = "header") -> DataFrame:
     """mapInPandas decode: binary payload → typed metadata rows.
 
-    codec='real' parses actual image formats (PNG IHDR, GIF logical
-    screen descriptor) with the pure-stdlib codec; unrecognized payloads
-    come back valid=False. Audio/video metadata would need external
-    probes (ffprobe) and stays on the header codec."""
+    codec='real' parses actual image formats (PNG IHDR, JPEG SOF, GIF
+    logical screen descriptor) with the pure-stdlib codecs; unrecognized
+    payloads come back valid=False. Audio/video metadata would need
+    external probes (ffprobe) and stays on the header codec."""
     if codec not in ("header", "real"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "real":
-            from qwatch_spark.functions.png import gif_header, png_header
+            from qwatch_spark.functions.images import sniff_image
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
                     p = bytes(payload) if payload is not None else None
-                    png = png_header(p)
-                    gif = gif_header(p) if png is None else None
-                    if png is not None:
-                        w, h, _depth, _ctype = png
+                    kind = sniff_image(p)
+                    if kind is not None:
+                        _fmt, w, h = kind
                         out.append((mid, "image", w, h, len(p), True))
-                    elif gif is not None:
-                        out.append((mid, "image", gif[0], gif[1], len(p), True))
                     else:
                         out.append((mid, None, None, None, None, False))
                     continue
@@ -141,9 +140,10 @@ def extract_features(media: DataFrame, codec: str = "header") -> DataFrame:
     """Arrow-batched numeric features.
 
     codec='header': over the raw payload bytes (codec-free).
-    codec='real': over DECODED PNG pixels (full inflate + unfilter via
-    the stdlib codec) — mean/max are true pixel statistics; payloads
-    that aren't decodable 8-bit PNGs yield null features."""
+    codec='real': over DECODED pixels (PNG inflate+unfilter or baseline
+    JPEG Huffman+IDCT via the stdlib codecs) — mean/max are true pixel
+    statistics; payloads that aren't decodable images yield null
+    features."""
     import hashlib
 
     if codec not in ("header", "real"):
@@ -153,14 +153,14 @@ def extract_features(media: DataFrame, codec: str = "header") -> DataFrame:
         import numpy as np
 
         if codec == "real":
-            from qwatch_spark.functions.png import decode_png
+            from qwatch_spark.functions.images import decode_image
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
                     try:
-                        px = decode_png(bytes(payload))
+                        px, _fmt = decode_image(bytes(payload))
                     except (ValueError, NotImplementedError, TypeError):
                         out.append((mid, None, None, None))
                         continue
@@ -207,31 +207,28 @@ def resize_images(
     the fake payload and rewrites the header dims — exercising the real
     shape of a resize stage: Arrow-batched bytes in, bytes out, non-image
     rows passed through as NULL payloads (downstream gates drop them).
-    codec='real' is END-TO-END real for 8-bit PNGs: stdlib decode →
-    nearest-neighbor resample → re-encode a valid PNG; undecodable
-    payloads (JPEG etc. — would need PIL) come back NULL."""
+    codec='real' is END-TO-END real for 8-bit PNGs and baseline JPEGs:
+    stdlib decode → nearest-neighbor resample → re-encode in the SAME
+    format; undecodable payloads (video etc.) come back NULL."""
     if codec not in ("header", "real"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "real":
-            from qwatch_spark.functions.png import (
-                decode_png,
-                encode_png,
-                resize_nearest,
-            )
+            from qwatch_spark.functions.images import decode_image, encode_image
+            from qwatch_spark.functions.png import resize_nearest
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
                     try:
-                        px = decode_png(bytes(payload))
+                        px, fmt = decode_image(bytes(payload))
                     except (ValueError, NotImplementedError, TypeError):
                         out.append((mid, None))
                         continue
                     out.append(
-                        (mid, encode_png(resize_nearest(px, out_w, out_h)))
+                        (mid, encode_image(resize_nearest(px, out_w, out_h), fmt))
                     )
                     continue
                 hdr = _parse_header(payload)
