@@ -32,6 +32,26 @@ def sniff_image(payload: bytes | None):
     return None
 
 
+def sniff_media(payload: bytes | None):
+    """(kind, fmt, dim_a, dim_b) across every real codec: images are
+    (w, h), audio is (rate, n_samples), video is (width, n_frames) —
+    the same dim semantics as the fake 16-byte header, so the metadata
+    schema is codec-independent."""
+    img = sniff_image(payload)
+    if img is not None:
+        return "image", img[0], img[1], img[2]
+    from qwatch_spark.functions.avi import avi_header
+    from qwatch_spark.functions.wav import wav_header
+
+    wav = wav_header(payload)
+    if wav is not None:
+        return "audio", "wav", wav[0], wav[1]
+    avi = avi_header(payload)
+    if avi is not None:
+        return "video", "mjpeg-avi", avi[0], avi[2]
+    return None
+
+
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """(pixels, format) for PNG/JPEG payloads; ValueError otherwise."""
     kind = sniff_image(payload)

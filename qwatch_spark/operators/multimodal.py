@@ -100,26 +100,26 @@ def _parse_header(payload: bytes | None):
 def decode_metadata(media: DataFrame, codec: str = "header") -> DataFrame:
     """mapInPandas decode: binary payload → typed metadata rows.
 
-    codec='real' parses actual image formats (PNG IHDR, JPEG SOF, GIF
-    logical screen descriptor) with the pure-stdlib codecs; unrecognized
-    payloads come back valid=False. Audio/video metadata would need
-    external probes (ffprobe) and stays on the header codec."""
+    codec='real' parses actual media formats with the pure-stdlib
+    codecs — PNG IHDR / JPEG SOF / GIF screen descriptor for images,
+    RIFF fmt+data for PCM WAV audio, RIFF avih for MJPEG AVI video;
+    unrecognized payloads come back valid=False."""
     if codec not in ("header", "real"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "real":
-            from qwatch_spark.functions.images import sniff_image
+            from qwatch_spark.functions.images import sniff_media
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if codec == "real":
                     p = bytes(payload) if payload is not None else None
-                    kind = sniff_image(p)
+                    kind = sniff_media(p)
                     if kind is not None:
-                        _fmt, w, h = kind
-                        out.append((mid, "image", w, h, len(p), True))
+                        k, _fmt, a, b = kind
+                        out.append((mid, k, a, b, len(p), True))
                     else:
                         out.append((mid, None, None, None, None, False))
                     continue
@@ -250,14 +250,33 @@ def resize_images(
     return media.mapInPandas(rz, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every: int = 2, codec: str = "header"
+) -> DataFrame:
     """Video frame sampling: one input row → N frame rows (row-expanding
-    mapInPandas — the UDTF-shaped multimodal op)."""
+    mapInPandas — the UDTF-shaped multimodal op).
+
+    codec='real' walks MJPEG AVI containers (RIFF '00dc' chunk walk):
+    each emitted frame is a standalone JPEG, decodable downstream with
+    functions.jpeg.decode_jpeg — the plug point is real end-to-end for
+    the one video coding a pure-stdlib decoder can reach. Inter-coded
+    video (H.264 etc.) stays honestly out of scope."""
+    if codec not in ("header", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real":
+            from qwatch_spark.functions.avi import iter_mjpeg_frames
+
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if codec == "real":
+                    p = bytes(payload) if payload is not None else b""
+                    for fno, jpg in enumerate(iter_mjpeg_frames(p)):
+                        if fno % every == 0:
+                            out.append((mid, fno, jpg))
+                    continue
                 hdr = _parse_header(payload)
                 if hdr is None or hdr[0] != "video":
                     continue
