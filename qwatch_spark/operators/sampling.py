@@ -192,3 +192,41 @@ def pack_sequences(
         ),
         (F.col("start_tok") % F.lit(s)).alias("pack_offset"),
     )
+
+
+def pack_chunk_spans(
+    placed: DataFrame, seq_len: int, order_col: str = "doc_id"
+) -> DataFrame:
+    """Explode `pack_sequences` placements into the per-(doc, chunk)
+    span table a data loader consumes directly: for every chunk a doc
+    touches, where in the chunk the doc's tokens land and which slice
+    of the doc they are.
+
+        chunk_id        — the packed sequence index
+        <order_col>     — the contributing document
+        offset_in_chunk — first filled position within the chunk
+        tok_start       — index of that token within the DOC
+        n_tok_in_chunk  — span length
+
+    Invariants (tested): every non-final chunk sums to exactly seq_len
+    with contiguous offsets (concat-then-chunk leaves no padding), and
+    each doc's spans partition [0, n_tok). Scale shape: `sequence()` +
+    explode emits ~(total_tokens / seq_len + n_docs) rows — linear,
+    chunk-local, no shuffle beyond the placement's own."""
+    s = int(seq_len)
+    spans = placed.filter(F.col("n_tok") > 0).select(
+        order_col,
+        "n_tok",
+        "start_tok",
+        F.explode(F.sequence("pack_first", "pack_last")).alias("chunk_id"),
+    )
+    chunk_start = F.col("chunk_id") * F.lit(s)
+    begin = F.greatest(chunk_start, F.col("start_tok"))
+    end = F.least(chunk_start + F.lit(s), F.col("start_tok") + F.col("n_tok"))
+    return spans.select(
+        "chunk_id",
+        order_col,
+        (begin - chunk_start).alias("offset_in_chunk"),
+        (begin - F.col("start_tok")).alias("tok_start"),
+        (end - begin).alias("n_tok_in_chunk"),
+    )

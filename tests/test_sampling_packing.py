@@ -133,3 +133,41 @@ def test_pack_sequences_layout_invariants(spark):
     assert run == sum(r["n_tok"] for r in out)
     # long docs must straddle chunk boundaries
     assert any(r["pack_last"] > r["pack_first"] for r in out)
+
+
+def test_pack_chunk_spans_partition_invariants(spark):
+    from qwatch_spark.operators.sampling import pack_chunk_spans
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i * 37 % 900)) for i in range(1, 120)],
+        "doc_id long, text string",
+    )
+    placed = pack_sequences(docs, seq_len=256)
+    spans = pack_chunk_spans(placed, seq_len=256).collect()
+    total_tok = sum(r["n_tok"] for r in placed.collect())
+    last_chunk = (total_tok - 1) // 256
+
+    by_chunk: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_chunk.setdefault(r["chunk_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # every chunk except the last is exactly full and gap-free
+    for cid, rows in by_chunk.items():
+        rows.sort(key=lambda r: r["offset_in_chunk"])
+        pos = 0
+        for r in rows:
+            assert r["offset_in_chunk"] == pos, (cid, pos, r)
+            pos += r["n_tok_in_chunk"]
+        assert pos == (256 if cid < last_chunk else total_tok - 256 * last_chunk)
+
+    # each doc's spans partition [0, n_tok) in order
+    n_tok_of = {r["doc_id"]: r["n_tok"] for r in placed.collect()}
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows:
+            assert r["tok_start"] == pos
+            pos += r["n_tok_in_chunk"]
+        assert pos == n_tok_of[did]
