@@ -529,3 +529,46 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index_append(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literals: int = 4096,
+) -> int:
+    """Incrementally add vectors to a built IVF index (the CDC story
+    for embeddings): assign the batch against the index's FROZEN
+    `_seeds` snapshot — so placement is consistent with the original
+    build and every prior append, and probes keep finding everything
+    without a rebuild — then append one file set into the touched
+    cell partitions. Returns the number of vectors appended.
+
+    Append-only contract: callers feed NEW ids (re-adding an id leaves
+    both copies visible to probes). Updating/deleting vectors composes
+    the same way the snapshot table handles rows — a latest-wins read
+    or a periodic rebuild at maintenance cadence; at 10⁹ vectors an
+    append is O(batch) against a √n-cell layout while a rebuild is the
+    O(n) maintenance job."""
+    spark = vectors.sparkSession
+    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    if not seed_rows:
+        raise ValueError(f"IVF index at {path} has no seeds")
+    seeds = sorted(
+        (int(r["cell"]), list(r[vec_col])) for r in seed_rows
+    )
+    dim = len(seeds[0][1])
+    assign = (
+        _assign_literal if len(seeds) * dim <= max_literals else _assign_pandas
+    )
+    assigned = assign(vectors, seeds, id_col, vec_col)
+    n = assigned.count()
+    if n:
+        (
+            assigned.repartition(len(seeds), "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    return int(n)

@@ -331,3 +331,42 @@ def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame(path_edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_ivf_index_append_is_probe_visible(spark, tmp_path):
+    """Incremental index growth: vectors appended AFTER the build are
+    assigned against the frozen seed snapshot and found by probes
+    without any rebuild — including as exact top-1 for their own
+    query vector."""
+    import numpy as np
+
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_probe_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8)
+    base_files = set(spark.read.parquet(path).inputFiles())
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    new_id = 1_000_003
+    added = ivf_index_append(
+        spark.createDataFrame(
+            [(new_id, [float(x) * 1.0 for x in qvec])],
+            "vec_id long, embedding array<float>",
+        ),
+        path,
+    )
+    assert added == 1
+    assert set(spark.read.parquet(path).inputFiles()) > base_files
+
+    top = ivf_probe_topk(spark, path, qvec, k=3, n_probe=2, exclude_id=3).collect()
+    assert top[0]["vec_id"] == new_id  # identical direction => cosine 1.0
+    assert abs(top[0]["cosine"] - 1.0) < 1e-9
+    # empty append is a no-op
+    assert ivf_index_append(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"), path
+    ) == 0
