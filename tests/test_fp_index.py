@@ -270,3 +270,32 @@ def test_property_bloom_equals_full_scan_on_random_feeds(spark, tmp_path):
                 apply(spark, t, batch, e, c)
             states[mode] = final_state(spark, t)
         assert states["on"] == states["off"], f"seed {seed} diverged"
+
+
+def test_streaming_runner_with_fp_index_matches_without(spark, tmp_path):
+    """The full Structured Streaming path (run_stream → foreachBatch →
+    apply) with fp_index on vs off: byte-identical final state, bloom
+    segments written per non-empty epoch."""
+    import os
+
+    from qwatch_spark.datagen import write_feed_files
+    from qwatch_spark.streaming import run_stream
+
+    feed = str(tmp_path / "feed")
+    write_feed_files(spark, feed, 1500, files=4)
+    states = {}
+    for mode in ("off", "on"):
+        c = PipelineConfig(
+            n_buckets=8,
+            rules=RULES,
+            write_mode="delta",
+            fp_index=(mode == "on"),
+            max_files_per_trigger=2,
+        )
+        t = SnapshotTable.create(str(tmp_path / f"t_{mode}"), n_buckets=8)
+        run_stream(spark, feed, t.path, str(tmp_path / f"ck_{mode}"), c)
+        states[mode] = final_state(spark, t)
+    assert states["on"] == states["off"]
+    segs = os.listdir(str(tmp_path / "t_on" / "_fp_bloom"))
+    assert any(s.startswith("seg-e") for s in segs)
+    assert not os.path.exists(str(tmp_path / "t_off" / "_fp_bloom"))
