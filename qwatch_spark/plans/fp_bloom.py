@@ -303,8 +303,21 @@ class FpBloomIndex:
         if not paths:
             return F.lit(False)
 
+        path_set = set(paths)
+        idx_dir = self.dir
+
         @F.pandas_udf("boolean")
         def probe(fps: pd.Series) -> pd.Series:
+            # evict cache entries for THIS index's segments that no
+            # longer exist (consolidated away by rebuild) — a
+            # long-running worker otherwise accumulates dead filters
+            # without bound; other tables' entries are left alone
+            for k in [
+                k
+                for k in _SEG_CACHE
+                if k[0].startswith(idx_dir) and k[0] not in path_set
+            ]:
+                del _SEG_CACHE[k]
             mask = fps.notna()
             out = np.zeros(len(fps), dtype=bool)
             vals = fps[mask]
