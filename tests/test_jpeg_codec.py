@@ -142,3 +142,35 @@ def test_multimodal_real_codec_handles_jpeg(spark):
     for mid, _p, _px in rows:
         px2, fmt = decode_image(bytes(out[mid]))  # re-encoded same format
         assert fmt == "jpeg" and px2.shape[:2] == (5, 6)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    channels=st.sampled_from([1, 3]),
+    subsample=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_structural(h, w, channels, subsample, seed):
+    """ANY size/content/mode round-trips: correct declared and decoded
+    dimensions, uint8 out, error bounded by the flat quantizer."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (h, w)).astype(np.float32)
+    # low-pass the noise a little so the error bound is meaningful
+    img = ((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3).astype(np.uint8)
+    if channels == 3:
+        img = np.stack([img, 255 - img, np.roll(img, 2, 1)], axis=-1)
+    payload = encode_jpeg(img, subsample=subsample and channels == 3)
+    hdr = jpeg_header(payload)
+    assert hdr == (w, h, channels)
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = float(np.mean(np.abs(out.astype(int) - img.astype(int))))
+    # worst case: near-noise chroma through a 4:2:0 box mean — the
+    # bound is structural sanity, not a quality promise
+    assert err < 35.0, err
