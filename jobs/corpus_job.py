@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-seed", default="mix-v1")
     p.add_argument("--jaccard", type=float, default=0.5,
                    help="near-dup refine threshold")
+    p.add_argument(
+        "--skip-stats", action="store_true",
+        help="skip per-stage survival counts — each count() is a full "
+        "pass over the stage's input; at 100 TB run with this flag and "
+        "read the counts from the written outputs instead",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -70,8 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master) if args.master else get_spark()
     stats: dict[str, int] = {}
 
+    def count(stage: str, df):
+        if not args.skip_stats:
+            stats[stage] = df.count()
+
     docs = spark.read.parquet(args.documents)
-    stats["input"] = docs.count()
+    count("input", docs)
 
     # 1. quality gate + language fallback (pure Column, scan-pushed)
     q = quality_exprs()["quality"]
@@ -82,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             F.col("lang").isNotNull() & (F.col("lang") != "und"), F.col("lang")
         ).otherwise(lang_pred_expr()),
     )
-    stats["after_quality"] = docs.count()
+    count("after_quality", docs)
 
     # 2. exact dedup: drop every non-canonical member of a duplicate
     # group (canonical = smallest doc_id per content digest)
@@ -94,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         .select("doc_id")
     )
     docs = docs.join(exact_losers, "doc_id", "anti")
-    stats["after_exact_dedup"] = docs.count()
+    count("after_exact_dedup", docs)
 
     # 3. near-dup pruning: LSH candidates → Jaccard refine → drop the
     # higher doc_id of each surviving pair (cheap canonical rule; for
@@ -104,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         F.greatest("doc_a", "doc_b").alias("doc_id")
     ).distinct()
     docs = docs.join(losers, "doc_id", "anti")
-    stats["after_near_dedup"] = docs.count()
+    count("after_near_dedup", docs)
 
     # 4. deterministic stratified mix
     rates = {}
@@ -117,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             docs, "lang", rates, key_col="doc_id",
             seed=args.sample_seed, default_rate=args.default_rate,
         )
-    stats["after_mix"] = docs.count()
+    count("after_mix", docs)
 
     # 5. pack: placement + per-(doc, chunk) spans
     placed = pack_sequences(docs, seq_len=args.seq_len, order_col="doc_id")

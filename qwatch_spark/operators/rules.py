@@ -128,9 +128,13 @@ def rule_exact_dup_gate(
         from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
         idx = FpBloomIndex(table.path)
-        if idx.enabled():
+        if idx.enabled() and idx.segment_paths():
             # O(batch) path: bloom misses are definitely-new (no table
-            # I/O at all); only hits pay bounded point lookups
+            # I/O at all); only hits pay bounded point lookups.
+            # (enabled-but-no-segments should be impossible — rebuild
+            # writes its filter before _meta — but if it ever happens,
+            # falling through to the full scan is correct and the bloom
+            # path would not be)
             kept = _bloom_pruned_owner_check(ctx["spark"], table, idx, kept, cfg)
         elif not kept.isEmpty():
             # no index: full narrow-columns anti-join. Cost note, stated
