@@ -64,7 +64,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from qwatch_spark.operators.dedup_text import exact_duplicates, near_dup_pairs
+    from qwatch_spark.operators.dedup_text import (
+        dedup_keep_canonical,
+        exact_duplicates,
+        near_dup_pairs,
+    )
     from qwatch_spark.operators.sampling import (
         pack_chunk_spans,
         pack_sequences,
@@ -106,14 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     docs = docs.join(exact_losers, "doc_id", "anti")
     count("after_exact_dedup", docs)
 
-    # 3. near-dup pruning: LSH candidates → Jaccard refine → drop the
-    # higher doc_id of each surviving pair (cheap canonical rule; for
-    # full cluster canonicalization see dedup_keep_canonical)
+    # 3. near-dup pruning: LSH candidates → Jaccard refine → connected
+    # components → keep each CLUSTER's minimum doc_id (pair-wise "drop
+    # the greater id" can leave two survivors in a chain-shaped cluster
+    # whose ends never paired; components can't)
     pairs = near_dup_pairs(docs, threshold=args.jaccard)
-    losers = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("doc_id")
-    ).distinct()
-    docs = docs.join(losers, "doc_id", "anti")
+    docs = dedup_keep_canonical(
+        docs, pairs, src_col="doc_a", dst_col="doc_b"
+    )
     count("after_near_dedup", docs)
 
     # 4. deterministic stratified mix

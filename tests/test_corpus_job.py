@@ -30,6 +30,17 @@ def make_docs(spark, n=120):
         (3001, "the " + " ".join(base) + " of and a", "de", "s", 0),
         (3002, "the " + " ".join(base[:-1] + ["changed"]) + " of and a", "de", "s", 0),
     ]
+    # planted CHAIN cluster A~B~C with A≁C (each hop swaps 2 of 24
+    # words: jaccard 22/26 ≈ 0.846 ≥ 0.8; A vs C is 20/28 ≈ 0.714 < 0.8)
+    # — only components-based dedup keeps exactly the minimum id
+    chain = [f"{w}y" for w in WORDS[:24]]
+    b_doc = chain[:-2] + ["swapb1", "swapb2"]
+    c_doc = chain[:-4] + ["swapc1", "swapc2", "swapb1", "swapb2"]
+    rows += [
+        (4001, "the " + " ".join(chain) + " of and a", "de", "s", 0),
+        (4002, "the " + " ".join(b_doc) + " of and a", "de", "s", 0),
+        (4003, "the " + " ".join(c_doc) + " of and a", "de", "s", 0),
+    ]
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -59,10 +70,13 @@ def test_corpus_job_end_to_end(spark, tmp_path):
     ids = {r["doc_id"] for r in out_docs.select("doc_id").collect()}
     assert 2001 in ids and 2002 not in ids, "exact dup must keep canonical only"
     assert 3001 in ids and 3002 not in ids, "near dup must keep lower id"
+    assert 4001 in ids and 4002 not in ids and 4003 not in ids, (
+        "a chain-shaped cluster must collapse to its single minimum id"
+    )
     assert stats["after_exact_dedup"] == stats["after_quality"] - 1
-    # at least the planted near-dup goes; the random corpus may
+    # at least the planted near-dups go; the random corpus may
     # contribute a rare extra pair (deterministic under the fixed seed)
-    assert stats["after_near_dedup"] <= stats["after_exact_dedup"] - 1
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"] - 3
     assert 0 < stats["after_mix"] < stats["after_near_dedup"]  # de kept, en mixed
 
     # packing covers every surviving token exactly once
