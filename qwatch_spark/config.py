@@ -94,6 +94,11 @@ class PipelineConfig:
     # (or candidate owner keys) than this falls back to the full
     # anti-join, which is cheaper at that density anyway
     fp_cand_cap: int = 200_000
+    # once more than this many committed per-epoch bloom segments
+    # accumulate, apply OR-folds equal-size ones inline (pure numpy
+    # over the filter files — no table scan); rebuild() at maintenance
+    # cadence remains the full consolidation that sheds dead entries
+    fp_merge_segments: int = 64
 
     def __post_init__(self) -> None:
         unknown = [r for r in self.rules if r not in KNOWN_FILTER_RULES]

@@ -79,6 +79,15 @@ def _maybe_append_fp_segment(
         return
     fps = written.filter(F.col(FP_COL).isNotNull()).select(FP_COL)
     idx.append_segment(fps, FP_COL, epoch_id, n_events)
+    # bound probe cost between maintenance rebuilds: OR-fold committed
+    # same-size segments once they pile up — pure numpy over the filter
+    # files (no Spark job, no table scan), so it is cheap enough to run
+    # inline on the apply path
+    man = table._load_manifest()
+    committed = max(
+        [man.get("epoch_watermark", -1), *man.get("applied_epochs", [-1])]
+    )
+    idx.merge_small_segments(committed, max_files=cfg.fp_merge_segments)
 
 
 def merge_cdc(

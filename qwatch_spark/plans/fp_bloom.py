@@ -228,6 +228,61 @@ class FpBloomIndex:
         nonce = os.urandom(4).hex()
         return self._write_filter(f"seg-e{int(epoch_id)}-{nonce}.npz", bloom)
 
+    def merge_small_segments(
+        self, committed_epoch: int, max_files: int = 16
+    ) -> int:
+        """Bound probe cost between rebuilds WITHOUT a table scan:
+        OR-fold committed per-epoch segments of equal size into one
+        file per size class (bitwise OR of same-m blooms is exact set
+        union, so the merge is pure numpy over the files themselves —
+        O(total filter bytes), zero Spark jobs). Returns files removed.
+
+        Only segments whose epoch is ≤ `committed_epoch` are folded —
+        an in-flight concurrent writer's staged segment survives, same
+        rule as rebuild(). Crash/race windows only ever DUPLICATE
+        coverage (merged file written before originals are unlinked;
+        a racing merger's extra merged file is a superset) — the next
+        merge or rebuild folds the duplicates away."""
+        segs = []
+        for p in self.segment_paths():
+            name = os.path.basename(p)
+            if not name.startswith("seg-e"):
+                continue
+            try:
+                epoch = int(name.split("-")[1][1:])
+            except ValueError:
+                continue
+            if epoch <= committed_epoch:
+                segs.append((p, epoch))
+        if len(segs) <= max_files:
+            return 0
+        by_m: dict[int, list[tuple[str, int]]] = {}
+        loaded: dict[str, tuple[int, np.ndarray]] = {}
+        for p, epoch in segs:
+            seg = _load_segment(p)
+            if seg is None:
+                continue
+            loaded[p] = seg
+            by_m.setdefault(seg[0], []).append((p, epoch))
+        removed = 0
+        for m_bits, members in by_m.items():
+            if len(members) < 2:
+                continue
+            words = np.zeros(m_bits // 64, dtype=np.uint64)
+            for p, _epoch in members:
+                words = np.bitwise_or(words, loaded[p][1])
+            top = max(e for _p, e in members)
+            self._write_filter(
+                f"seg-e{top}-m{os.urandom(4).hex()}.npz", _Bloom(m_bits, words)
+            )
+            for p, _epoch in members:
+                try:
+                    os.unlink(p)
+                    removed += 1
+                except OSError:
+                    pass  # a racing merger got it first — already folded
+        return removed
+
     def rebuild(self, spark, table) -> str:
         """Consolidate to one filter over the LIVE fingerprints.
 

@@ -299,3 +299,38 @@ def test_streaming_runner_with_fp_index_matches_without(spark, tmp_path):
     segs = os.listdir(str(tmp_path / "t_on" / "_fp_bloom"))
     assert any(s.startswith("seg-e") for s in segs)
     assert not os.path.exists(str(tmp_path / "t_off" / "_fp_bloom"))
+
+
+def test_inline_segment_merge_bounds_file_count(spark, tmp_path):
+    """With fp_merge_segments low, many committed epochs OR-fold into
+    one segment per size class — correctness intact (the merged filter
+    is the exact set union), in-flight (uncommitted-epoch) segments
+    untouched."""
+    c = PipelineConfig(
+        n_buckets=4, rules=RULES, fp_index=True, write_mode="delta",
+        fp_merge_segments=3,
+    )
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    pages = [PAGE_A, PAGE_B, PAGE_C]
+    for e in range(8):  # one fresh single-row epoch each => equal-size segs
+        apply(
+            spark, t,
+            [(100 + e, "I", f"https://m.ex/{e}", TS(1 + e), pages[e % 3] + str(e).encode(), "en", "s")],
+            e, c,
+        )
+    idx = FpBloomIndex(t.path)
+    seg_files = [
+        os.path.basename(p)
+        for p in idx.segment_paths()
+        if os.path.basename(p).startswith("seg-e")
+    ]
+    assert len(seg_files) <= c.fp_merge_segments + 1, seg_files
+    # correctness through the merged filters: an old epoch's content is
+    # still rejected as a cross-key duplicate
+    apply(
+        spark, t,
+        [(500, "I", "https://m.ex/dup", TS(20), pages[0] + b"0", "en", "s")],
+        8, c,
+    )
+    urls = {r["url"] for r in t.read(spark).collect()}
+    assert "https://m.ex/dup" not in urls and len(urls) == 8
