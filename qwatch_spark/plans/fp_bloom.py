@@ -130,17 +130,25 @@ class _Bloom:
 
 
 def _load_segment(path: str) -> tuple[int, np.ndarray] | None:
+    """None ONLY when the file no longer exists (consolidated away by a
+    concurrent rebuild/merge — the caller must then fall back to the
+    directory's CURRENT files, which the superset discipline guarantees
+    cover everything committed). A file that exists but cannot be
+    parsed raises: silently skipping a corrupt filter would turn an
+    I/O problem into missed duplicates (a false 'definitely new')."""
     try:
         key = (path, os.stat(path).st_mtime_ns)
-    except OSError:
-        return None  # consolidated away underneath us — superset unharmed
+    except FileNotFoundError:
+        return None
     cached = _SEG_CACHE.get(key)
     if cached is None:
         try:
             with np.load(path) as z:
                 cached = (int(z["m_bits"][0]), z["words"].astype(np.uint64))
-        except (OSError, KeyError, ValueError):
+        except FileNotFoundError:
             return None
+        except (OSError, KeyError, ValueError) as e:
+            raise ValueError(f"corrupt bloom segment {path}: {e}") from e
         # evict stale snapshots of the same file (mtime changed)
         for k in [k for k in _SEG_CACHE if k[0] == path and k != key]:
             del _SEG_CACHE[k]
@@ -379,9 +387,25 @@ class FpBloomIndex:
             if len(vals):
                 h1, h2 = _fp_words(vals.tolist())
                 hit = np.zeros(len(vals), dtype=bool)
-                for p in paths:
+                probe_paths = list(paths)
+                for p in probe_paths:
                     seg = _load_segment(p)
                     if seg is None:
+                        # a listed segment vanished mid-probe (a
+                        # concurrent rebuild/merge consolidated it):
+                        # its coverage now lives in files written
+                        # BEFORE the deletion, so the directory's
+                        # CURRENT listing is a complete superset —
+                        # extend the probe with any files we have not
+                        # already tested
+                        current = sorted(
+                            os.path.join(idx_dir, f)
+                            for f in os.listdir(idx_dir)
+                            if f.endswith(".npz")
+                        )
+                        probe_paths += [
+                            c for c in current if c not in probe_paths
+                        ]
                         continue
                     miss = ~hit
                     if not miss.any():

@@ -334,3 +334,62 @@ def test_inline_segment_merge_bounds_file_count(spark, tmp_path):
     )
     urls = {r["url"] for r in t.read(spark).collect()}
     assert "https://m.ex/dup" not in urls and len(urls) == 8
+
+
+def test_probe_survives_concurrent_consolidation_and_rejects_corruption(
+    spark, tmp_path
+):
+    """A probe plan built BEFORE a rebuild must still flag known
+    members AFTER the rebuild deleted the segments it listed (fallback
+    to the directory's current superset); a corrupt segment file fails
+    loudly instead of silently missing duplicates."""
+    c = cfg(True, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)
+    idx = FpBloomIndex(t.path)
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.rules import content_fingerprint
+
+    member_fp = (
+        spark.createDataFrame([("x",)], "x string")
+        .select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(
+                            F.lit(
+                                t.read(spark)
+                                .filter(F.col("url") == "https://a.ex/1")
+                                .first()["text"]
+                            )
+                        ),
+                        "\\s+",
+                        " ",
+                    )
+                )
+            ).alias("fp")
+        )
+        .first()["fp"]
+    )
+    probe_df = spark.createDataFrame(
+        [(member_fp,), ("0" * 32,)], "fp string"
+    ).withColumn("c", idx.maybe_member(F.col("fp")))  # lists CURRENT segs
+    idx.rebuild(spark, t)  # deletes those segs, writes full-*
+    got = {r["fp"]: r["c"] for r in probe_df.collect()}
+    assert got[member_fp] is True, "member lost across consolidation"
+    assert got["0" * 32] is False
+
+    # corruption is loud
+    bad = os.path.join(idx.dir, "seg-e77-bad.npz")
+    with open(bad, "wb") as fh:
+        fh.write(b"not an npz at all")
+    probe2 = spark.createDataFrame([(member_fp,)], "fp string").withColumn(
+        "c", idx.maybe_member(F.col("fp"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="corrupt bloom segment"):
+        probe2.collect()
+    os.unlink(bad)
