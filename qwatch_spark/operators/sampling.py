@@ -114,9 +114,10 @@ def global_prefix_sum(
        partitioned by `_pid`) and adds its broadcast offset.
 
     One data shuffle total (the per-range window), exact integer
-    arithmetic throughout. Skew caveat: ranges are equal-width in the
+    arithmetic throughout. `order_col` must be NUMERIC (cast timestamps
+    to epoch seconds first). Skew caveat: ranges are equal-width in the
     order VALUE, so a dense hotspot in `order_col` concentrates rows —
-    ideal for dense ids (doc_id), acceptable for timestamps, wrong for
+    ideal for dense ids (doc_id), fine for epoch times, wrong for
     zipfian keys (re-map those to a rank first)."""
     from pyspark.sql import Window
 
