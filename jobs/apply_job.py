@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cas-backend", choices=("localfs", "memory"), default=None)
     p.add_argument("--manifest-shards", type=int, default=None)
     p.add_argument("--feed-format", choices=("parquet", "json"), default=None)
+    p.add_argument(
+        "--fp-index", action="store_true", default=None,
+        help="maintain the fingerprint bloom side index so the "
+        "exact_dup_gate's cross-epoch check is O(batch) per epoch",
+    )
     p.add_argument("--once", action="store_true", help="drain and exit")
     p.add_argument("--interval", default=None, help="e.g. '30 seconds'")
     p.add_argument("--master", default=None)
@@ -65,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         cas_backend=args.cas_backend,
         manifest_shards=args.manifest_shards,
         feed_format=args.feed_format,
+        fp_index=args.fp_index,
     )
 
     from pyspark.sql import SparkSession
