@@ -159,10 +159,14 @@ def test_yaml_config_and_cli_layering(tmp_path):
     from qwatch_spark.config import PipelineConfig
 
     yml = tmp_path / "qwatch.yml"
-    yml.write_text("rules: [valid_url, extract_text]\nn_buckets: 16\nwrite_mode: delta\n")
+    yml.write_text(
+        "rules: [valid_url, extract_text]\nn_buckets: 16\nwrite_mode: delta\n"
+        "fp_index: true\nfp_merge_segments: 8\n"
+    )
     cfg = PipelineConfig.from_file(str(yml))
     assert cfg.rules == ("valid_url", "extract_text")
     assert cfg.n_buckets == 16 and cfg.write_mode == "delta"
+    assert cfg.fp_index is True and cfg.fp_merge_segments == 8
     # CLI layer overrides some, keeps the rest; None = not given
     over = cfg.with_overrides(write_mode="auto", n_salt=None, min_quality=0.5)
     assert over.write_mode == "auto" and over.n_buckets == 16
