@@ -140,10 +140,11 @@ def extract_features(media: DataFrame, codec: str = "header") -> DataFrame:
     """Arrow-batched numeric features.
 
     codec='header': over the raw payload bytes (codec-free).
-    codec='real': over DECODED pixels (PNG inflate+unfilter or baseline
-    JPEG Huffman+IDCT via the stdlib codecs) — mean/max are true pixel
-    statistics; payloads that aren't decodable images yield null
-    features."""
+    codec='real': over DECODED samples — pixels for PNG/JPEG (inflate+
+    unfilter / Huffman+IDCT via the stdlib codecs), |PCM| magnitudes
+    scaled to byte range (>>7 of abs int16) for WAV audio, so mean/max
+    keep one unit across modalities; payloads that decode as neither
+    yield null features."""
     import hashlib
 
     if codec not in ("header", "real"):
@@ -154,6 +155,7 @@ def extract_features(media: DataFrame, codec: str = "header") -> DataFrame:
 
         if codec == "real":
             from qwatch_spark.functions.images import decode_image
+            from qwatch_spark.functions.wav import decode_wav
 
         for pdf in batches:
             out = []
@@ -162,8 +164,14 @@ def extract_features(media: DataFrame, codec: str = "header") -> DataFrame:
                     try:
                         px, _fmt = decode_image(bytes(payload))
                     except (ValueError, NotImplementedError, TypeError):
-                        out.append((mid, None, None, None))
-                        continue
+                        try:
+                            samples, _rate = decode_wav(bytes(payload))
+                            px = (
+                                np.abs(samples.astype(np.int32)) >> 7
+                            ).clip(0, 255)
+                        except (ValueError, NotImplementedError, TypeError):
+                            out.append((mid, None, None, None))
+                            continue
                     out.append(
                         (
                             mid,

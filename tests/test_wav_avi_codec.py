@@ -92,3 +92,19 @@ def test_multimodal_real_all_three_modalities(spark):
     ]
     for r in frames:
         assert decode_jpeg(bytes(r["frame"])).shape == (16, 24, 3)
+
+def test_audio_features_over_decoded_pcm(spark):
+    """extract_features(codec='real') on WAV: statistics over the
+    DECODED |int16| samples scaled to byte range, not payload bytes."""
+    from qwatch_spark.operators.multimodal import extract_features
+
+    samples = tone(400, 8000, 200)
+    df = spark.createDataFrame(
+        [(1, encode_wav(samples, 8000)), (2, b"junk")],
+        "media_id long, payload binary",
+    )
+    feats = {r["media_id"]: r for r in extract_features(df, codec="real").collect()}
+    want = (np.abs(samples.astype(np.int32)) >> 7).clip(0, 255)
+    assert feats[1]["mean_byte"] == pytest.approx(float(want.mean()))
+    assert feats[1]["max_byte"] == int(want.max())
+    assert feats[2]["mean_byte"] is None
