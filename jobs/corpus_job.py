@@ -116,7 +116,10 @@ def main(argv: list[str] | None = None) -> int:
     # whose ends never paired; components can't)
     pairs = near_dup_pairs(docs, threshold=args.jaccard)
     docs = dedup_keep_canonical(
-        docs, pairs, src_col="doc_a", dst_col="doc_b"
+        docs, pairs, src_col="doc_a", dst_col="doc_b",
+        # components scratch rides on the OUTPUT's storage, so it is
+        # executor-readable on a real cluster, not driver-local /tmp
+        work_dir=os.path.join(args.out, "_cc_work"),
     )
     count("after_near_dedup", docs)
 

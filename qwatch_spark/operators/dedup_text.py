@@ -271,6 +271,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair/edge DataFrame — the step that
     turns near-duplicate PAIRS into duplicate CLUSTERS (the MinHash-LSH
@@ -302,6 +303,14 @@ def connected_components(
     cluster-scale iterative label propagation anyway. The convergence
     probe is a count of changed labels (one action per round).
 
+    `work_dir` is where per-round labels are written; it MUST be on
+    storage every executor can read (the table's filesystem, an
+    object-store prefix). The default — a driver-local tempdir — is
+    only correct on local[*]; a multi-node run that leaves it unset
+    would scatter round files across executor-local disks. Cleanup is
+    best-effort (POSIX rmtree); an object-store work_dir should carry
+    a lifecycle/TTL rule for the `cc-*` prefixes.
+
     Returns (node, component) with component = min node id reachable.
     """
     import shutil
@@ -309,7 +318,10 @@ def connected_components(
     import uuid
 
     spark = pairs.sparkSession
-    ckdir = tempfile.mkdtemp(prefix="qwatch_cc_")
+    own_dir = work_dir is None
+    ckdir = tempfile.mkdtemp(prefix="qwatch_cc_") if own_dir else (
+        f"{work_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+    )
 
     def materialize(df: DataFrame) -> DataFrame:
         p = f"{ckdir}/{uuid.uuid4().hex}"
@@ -389,13 +401,16 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    work_dir: str | None = None,
 ) -> DataFrame:
     """The dedup pipeline's final select: one canonical document per
     near-dup cluster (the minimum id — deterministic and join-free to
     pick once components are labeled) plus every document that appears
     in no pair. Anti-join on the non-canonical cluster members, so the
-    corpus scan stays one pass."""
-    comps = connected_components(pairs, src_col, dst_col)
+    corpus scan stays one pass. `work_dir`: shared-storage scratch for
+    the components rounds (see connected_components; required off
+    local[*])."""
+    comps = connected_components(pairs, src_col, dst_col, work_dir=work_dir)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
