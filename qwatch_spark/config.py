@@ -88,8 +88,19 @@ class PipelineConfig:
     # maintain the fingerprint bloom side index (plans/fp_bloom.py) so
     # exact_dup_gate's cross-epoch check costs O(batch) instead of a
     # per-epoch narrow table scan + dedup shuffle; enabling it on an
-    # existing table triggers a one-time rebuild
-    fp_index: bool = False
+    # existing table triggers a one-time rebuild.
+    #   False  — never ENABLE the index here (but a table whose index a
+    #            previous run already enabled keeps getting segment
+    #            appends: on-disk state is authoritative, else the
+    #            bloom's superset-of-live-fps invariant breaks)
+    #   True   — enable on first apply
+    #   "auto" — enable once the manifest's live-row upper-bound
+    #            estimate crosses fp_auto_rows; below that the index's
+    #            ~1 s/epoch fixed cost exceeds the scan it replaces
+    fp_index: bool | str = False
+    # measured crossover (scripts/bench_fp_gate.py): the bloom gate is
+    # strictly faster once the table exceeds ~1M rows
+    fp_auto_rows: int = 1_000_000
     # bloom-hit candidate cap: a batch with more bloom-hit fingerprints
     # (or candidate owner keys) than this falls back to the full
     # anti-join, which is cheaper at that density anyway
@@ -110,6 +121,10 @@ class PipelineConfig:
             raise ValueError("n_buckets must be >= 1")
         if self.n_salt < 0:
             raise ValueError("n_salt must be >= 0")
+        if self.fp_index not in (False, True, "auto"):
+            raise ValueError(
+                f"fp_index must be False, True, or 'auto' (got {self.fp_index!r})"
+            )
         if self.commit_protocol not in ("localfs", "cas"):
             raise ValueError(
                 f"unknown commit_protocol {self.commit_protocol!r} "

@@ -68,14 +68,21 @@ def _maybe_append_fp_segment(
     just-written (page-cached) epoch files. Runs BEFORE the manifest
     swap: a crash between segment and commit leaves a harmless superset
     orphan, while the reverse order could lose fingerprints and let a
-    duplicate re-enter later."""
-    if not (cfg.fp_index and "exact_dup_gate" in cfg.rules):
-        return
+    duplicate re-enter later.
+
+    Gated on the ON-DISK index state alone, NOT cfg.fp_index: the probe
+    path (rules._bloom_pruned_owner_check) also keys off `idx.enabled()`,
+    so a run with fp_index=False against a table whose index an earlier
+    run enabled MUST still append — otherwise the epoch's fingerprints
+    would be committed without segments and later duplicates of them
+    would bloom-miss straight past the gate."""
     from qwatch_spark.operators.rules import FP_COL
     from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
+    if FP_COL not in written.columns:
+        return
     idx = FpBloomIndex(table.path)
-    if not idx.enabled() or FP_COL not in written.columns:
+    if not idx.enabled():
         return
     fps = written.filter(F.col(FP_COL).isNotNull()).select(FP_COL)
     idx.append_segment(fps, FP_COL, epoch_id, n_events)
@@ -173,13 +180,20 @@ def apply_changes(
             )
         if FP_COL not in batch.columns:
             batch = batch.withColumn(FP_COL, F.lit(None).cast("string"))
-        if cfg.fp_index:
+        if cfg.fp_index:  # True or "auto"
             from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
-            if not FpBloomIndex(table.path).enabled():
+            if not FpBloomIndex(table.path).enabled() and (
+                cfg.fp_index is True or table.rows_est >= cfg.fp_auto_rows
+            ):
                 # one-time enablement (new table: trivial; existing
                 # table: one narrow live-rows scan) — after this the
-                # gate's cross-epoch check is O(batch) per epoch
+                # gate's cross-epoch check is O(batch) per epoch.
+                # "auto" waits for the manifest's live-row upper bound
+                # to cross the measured ~1M-row crossover so small
+                # tables never pay the index's fixed per-epoch cost;
+                # the estimate over-counts (updates tallied as inserts)
+                # so auto can only flip EARLY, the safe side.
                 FpBloomIndex(table.path).rebuild(spark, table)
 
     payload_cols = [f.name for f in evolved_payload.fields]
@@ -298,7 +312,8 @@ def apply_changes(
                 table, cfg, spark.read.parquet(out), epoch_id, n_events
             )
             table.commit_prewritten_delta(
-                touched, epoch_id, evolved_payload, new_version, vtoken, zmaps
+                touched, epoch_id, evolved_payload, new_version, vtoken, zmaps,
+                rows_delta=n_events - sum(int(r["n_delete"]) for r in per_b),
             )
             phases["commit"] = time.time() - t
         else:
@@ -319,6 +334,7 @@ def apply_changes(
                 F.count("*").alias("n"),
                 F.min("warc_ts").alias("lo"),
                 F.max("warc_ts").alias("hi"),
+                F.count_if(F.col("op") == "D").alias("nd"),
             ).collect()
             touched = sorted(r["_b"] for r in bucket_stats)
             n_events = sum(r["n"] for r in bucket_stats)
@@ -342,7 +358,10 @@ def apply_changes(
                 current, updates.drop("_b"), epoch_id, payload_cols, key=key
             )
             _maybe_append_fp_segment(table, cfg, updates, epoch_id, n_events)
-            table.commit_epoch(merged, touched, epoch_id, evolved_payload, zmaps)
+            table.commit_epoch(
+                merged, touched, epoch_id, evolved_payload, zmaps,
+                rows_delta=n_events - sum(int(r["nd"]) for r in bucket_stats),
+            )
             phases["merge_commit"] = time.time() - t
 
         # lineage AFTER the commit point: recomputable. The delta path

@@ -133,10 +133,27 @@ def global_prefix_sum(
     with_pid = df.withColumn("_pid", pid)
     totals = sorted(
         with_pid.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("_tot"))
+        .agg(
+            F.sum(F.col(value_col).cast("long")).alias("_tot"),
+            F.count("*").alias("_n"),
+            F.countDistinct(order_col).alias("_nd"),
+        )
         .collect(),
         key=lambda r: r["_pid"],
     )
+    # order_col must be UNIQUE: with ties the per-range window assigns
+    # tied rows arbitrary relative prefix sums run to run, breaking this
+    # module's determinism/oracle-reproducibility contract. Checked here
+    # because it rides the totals action (same scan, two extra agg
+    # columns) instead of costing its own pass over the data.
+    dupes = sum(int(r["_n"]) - int(r["_nd"]) for r in totals)
+    if dupes:
+        raise ValueError(
+            f"global_prefix_sum: order_col {order_col!r} has {dupes} "
+            "duplicate value(s); the global order (hence every prefix "
+            "sum) would be nondeterministic. Provide a unique order "
+            "column (e.g. a doc_id) or disambiguate ties upstream."
+        )
     offsets, running = [], 0
     for r in totals:
         offsets.append((int(r["_pid"]), running))

@@ -335,6 +335,25 @@ def ivf_assign(
     reproducible run to run. Empty cells keep their previous centroid.
     Each iteration is one aggregation job collecting n_cells × dim
     values (bounded)."""
+    seeds, assign = _ivf_codebook(
+        vectors, n_cells, id_col, vec_col, max_literals, lloyd_iters
+    )
+    return assign(vectors, seeds, id_col, vec_col)
+
+
+def _ivf_codebook(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    max_literals: int,
+    lloyd_iters: int,
+):
+    """Derive the FINAL (possibly Lloyd-refined) codebook plus the
+    matching assign function. Split out so ivf_build_index can persist
+    the refined centroids to `_seeds` — probes and appends must quantize
+    with the same codebook the build partitioned by, or cell selection
+    degrades recall."""
     seed_rows = (
         vectors.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
@@ -373,7 +392,7 @@ def ivf_assign(
         new = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
         seeds = [(c, new.get(c, v)) for c, v in seeds]
 
-    return assign(vectors, seeds, id_col, vec_col)
+    return seeds, assign
 
 
 def ivf_topk(
@@ -435,21 +454,26 @@ def ivf_build_index(
     argmax over n_cells rows — zero jobs over the corpus at query time.
     `_seeds` is underscore-prefixed, so Spark's directory listing hides
     it from index reads automatically."""
-    assigned = ivf_assign(
-        vectors, n_cells, id_col, vec_col,
-        max_literals=max_literals, lloyd_iters=lloyd_iters,
+    seeds, assign = _ivf_codebook(
+        vectors, n_cells, id_col, vec_col, max_literals, lloyd_iters
     )
+    assigned = assign(vectors, seeds, id_col, vec_col)
     (
         assigned.repartition(n_cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
-    seeds = (
-        vectors.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).cast("long").alias("cell"), F.col(vec_col))
+    # persist the FINAL codebook — with lloyd_iters > 0 the partition
+    # assignment above used the refined centroids, so `_seeds` must hold
+    # those, not the original seed vectors: probe cell selection and
+    # incremental appends quantize against `_seeds`, and a mismatched
+    # quantizer silently degrades recall
+    seed_df = vectors.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in seeds],
+        f"cell bigint, {vec_col} array<double>",
     )
-    seeds.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
+    seed_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
 
 
 def ivf_probe_topk(

@@ -28,6 +28,20 @@ import threading
 import uuid
 
 
+class CommitConflictError(RuntimeError):
+    """A writer lost a commit race (CAS put-if-absent lost, mutation
+    guard tripped). Retryable: rebase on the new manifest and retry.
+    Subclasses RuntimeError so pre-existing catch sites keep working;
+    NEW code must catch this type, never match on message substrings
+    (an unrelated error whose text happens to contain 'stale' must not
+    be silently retried)."""
+
+
+class StaleBaseError(CommitConflictError):
+    """The writer's base version/manifest was superseded before its
+    commit — the pre-commit flavor of losing the race."""
+
+
 class CasBackend:
     """Slot store for the CAS commit log. `n` is the mutation number;
     `data` is the serialized manifest JSON."""

@@ -20,6 +20,7 @@ import time
 
 from pyspark.sql import SparkSession
 
+from qwatch_spark.plans.commit_backend import CommitConflictError
 from qwatch_spark.plans.snapshot_table import SnapshotTable
 
 
@@ -48,9 +49,9 @@ def maintain_once(
         )
         out["compacted_buckets"] = len(victims)
         out["version"] = table.version
-    except RuntimeError as e:
-        if "concurrent writer" not in str(e) and "stale" not in str(e):
-            raise
+    except CommitConflictError:
+        # typed catch (commit_backend.CommitConflictError), not message
+        # matching — unrelated RuntimeErrors must surface
         out["lost_race"] = True
         table = SnapshotTable(table_path)  # rebase before vacuum
     if vacuum_enabled:

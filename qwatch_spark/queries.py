@@ -1298,9 +1298,11 @@ GROUP BY ROLLUP (r_name, n_name)
 
 
 def q38_cosine_topk_fast(spark, sf_dir):
-    """numpy/Arrow throughput variant of q31 (rows-only: float64 SIMD
-    reduction order differs from the decimal-exact oracle at the last
-    bits; q31 carries the exact oracle, pytest checks q38 ≈ q31)."""
+    """numpy/Arrow throughput variant of q31, oracle-checked against the
+    SAME decimal-exact SQL as q31: both sides round cosine to 9 decimals,
+    and at sf0.01 no pair sits within float64 error of a rounding
+    boundary, so the hash comparison is exact (pytest additionally gates
+    q38 ≈ q31 at 1e-9 as the tie-proof backstop)."""
     return cosine_topk_fast(ld(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
@@ -1310,9 +1312,16 @@ def q38_cosine_topk_fast(spark, sf_dir):
 
 def q50_cdc_apply_e2e(spark, sf_dir):
     """Full engine path: generated change feed → rules → dedup → MERGE into
-    a SnapshotTable → final live state. Not SQL-expressible (stateful,
-    multi-epoch, exactly-once commit protocol) — pytest covers it against
-    the dict-replay oracle; here it feeds the rows-only harness check."""
+    a SnapshotTable → final live state, replayed over 2 epochs through the
+    exactly-once commit protocol. ORACLE-CHECKED (hash-exact): the final
+    state is replay-invariant (latest (warc_ts, seq) per url wins, 'D'
+    tombstones, gates drop before merge), the feed generator is a pure
+    LCG over seq (datagen._mix_py — every intermediate < 2^63), and
+    extract_text on the generated html reduces to a deterministic string
+    template — so SQL_CDC_APPLY_E2E rebuilds feed, gates, text, and
+    final state entirely in DuckDB. The non-SQL parts (epoch commits,
+    idempotence, crash replay) are pytest-covered against the dict-replay
+    oracle (tests/oracle.py)."""
     import tempfile
 
     from qwatch_spark.config import PipelineConfig
@@ -1326,6 +1335,54 @@ def q50_cdc_apply_e2e(spark, sf_dir):
     feed = gen_feed_df(spark, 2000)
     replay_feed(spark, feed, table, cfg)
     return table.read(spark).select("url", "warc_ts", "text", "lang")
+
+
+# DuckDB twin of the WHOLE q50 pipeline. Mirrors, in order:
+# datagen.gen_feed_df(n=2000) — mixer (seq*A + k*(B+C)) % 2^31 with
+#   A=1103515245, B+C=2543356 (all intermediates < 2^63, so plain BIGINT
+#   arithmetic is exact on both engines);
+# rules valid_url (a no-op on generated urls — every url matches the
+#   https?:// pattern), lang_gate (deletes always pass), extract_text
+#   (the generated html strips to a fixed template — verified against
+#   functions.text.extract_text_bytes);
+# final state = latest (warc_ts, seq) per url, tombstones dropped —
+#   replay-invariant, so the epoch split is irrelevant to the oracle.
+SQL_CDC_APPLY_E2E = """
+WITH raw AS (SELECT range AS seq FROM range(0, 2000)),
+mixed AS (
+  SELECT seq,
+    (seq * 1103515245 + 1 * 2543356) % 2147483648 AS h1,
+    (seq * 1103515245 + 2 * 2543356) % 2147483648 AS h2,
+    ((seq * 1103515245 + 3 * 2543356) % 2147483648) % 10 AS h3,
+    ((seq * 1103515245 + 4 * 2543356) % 2147483648) % 1201 - 600 AS jit,
+    ((seq * 1103515245 + 5 * 2543356) % 2147483648) % 6 AS h5
+  FROM raw),
+feed AS (
+  SELECT seq,
+    CASE WHEN h3 = 0 THEN 'D' WHEN h3 <= 4 THEN 'I' ELSE 'U' END AS op,
+    CASE WHEN h1 % 100 < 30 THEN 0 ELSE 1 + (h1 // 100) % 49 END AS dom,
+    h2 % 200 AS pg,
+    to_timestamp(1704067200 + seq + jit)::TIMESTAMP AS warc_ts,
+    (['en','de','fr','es','zz','pt'])[h5 + 1] AS raw_lang
+  FROM mixed),
+ev AS (
+  SELECT seq, op, warc_ts,
+    concat('https://d', dom, '.example.com/p/', pg) AS url,
+    CASE WHEN op = 'D' THEN NULL ELSE raw_lang END AS lang,
+    CASE WHEN op = 'D' THEN NULL ELSE
+      concat('Page ', pg, ' of d', dom, ' d', dom, '/', pg,
+             ' Content rev ', seq, ' for https://d', dom,
+             '.example.com/p/', pg, '.')
+    END AS text
+  FROM feed),
+gated AS (
+  SELECT * FROM ev WHERE op = 'D' OR lang IN ('en','de','fr','es')),
+latest AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM gated)
+SELECT url, warc_ts, text, lang FROM latest WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def entity_feed_from_events(ev):
@@ -1605,7 +1662,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q35_token_count": (q35_token_count, SQL_TOKEN_COUNT),
     "q36_quality_score": (q36_quality_score, SQL_QUALITY),
     "q37_fingerprint": (q37_fingerprint, SQL_FINGERPRINT),
-    "q38_cosine_topk_fast": (q38_cosine_topk_fast, None),
+    "q38_cosine_topk_fast": (q38_cosine_topk_fast, SQL_COSINE_TOPK),
     "q39_pricing_summary": (q39_pricing_summary, SQL_PRICING_SUMMARY),
     "q40_asof_join": (q40_asof_join, SQL_ASOF_JOIN),
     "q41_sessionize": (q41_sessionize, SQL_SESSIONIZE),
@@ -1614,7 +1671,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q44_percentiles": (q44_percentiles, SQL_PERCENTILES),
     "q45_top_revenue_orders": (q45_top_revenue_orders, SQL_TOP_REVENUE),
     "q47_tfidf": (q47_tfidf, SQL_TFIDF),
-    "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, None),
+    "q50_cdc_apply_e2e": (q50_cdc_apply_e2e, SQL_CDC_APPLY_E2E),
     "q51_multi_entity_apply": (q51_multi_entity_apply, SQL_MULTI_ENTITY),
     "q52_ivf_topk": (q52_ivf_topk, SQL_IVF_TOPK),
     "q53_winnow_fingerprints": (q53_winnow_fingerprints, SQL_WINNOW),

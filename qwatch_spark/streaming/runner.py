@@ -36,7 +36,11 @@ from qwatch_spark.sources.feed import read_feed_stream, split_dead_letter
 
 
 def _is_lost_race(e: Exception) -> bool:
-    return "concurrent writer" in str(e) or "stale" in str(e)
+    # typed check, NOT message matching: an unrelated RuntimeError whose
+    # text happens to contain "stale" must surface, not be retried 20×
+    from qwatch_spark.plans.commit_backend import CommitConflictError
+
+    return isinstance(e, CommitConflictError)
 
 
 def _retry_lost_race(fn, attempts: int = 20):

@@ -393,3 +393,122 @@ def test_probe_survives_concurrent_consolidation_and_rejects_corruption(
     with _pytest.raises(Exception, match="corrupt bloom segment"):
         probe2.collect()
     os.unlink(bad)
+
+
+def test_disk_state_authoritative_append_with_fp_index_false(spark, tmp_path):
+    """THE invariant-breaking config drift (ADVICE r4, high): a run with
+    fp_index=False against a table whose index an EARLIER run enabled
+    must still append segments for what it commits — the probe path
+    keys off the on-disk index, so skipping the append would let later
+    duplicates of this run's content bloom-miss straight past the gate."""
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, cfg(True, "delta"))  # enables the index
+    assert FpBloomIndex(t.path).enabled()
+    # fresh content committed by a run that does NOT ask for the index
+    apply(
+        spark,
+        t,
+        [(30, "I", "https://a.ex/c", TS(8), PAGE_C, "en", "s")],
+        1,
+        cfg(False, "delta"),
+    )
+    # ... must still be bloom-visible: its duplicate is rejected even
+    # though every apply after enablement ran with fp_index=False
+    apply(
+        spark,
+        t,
+        [(31, "I", "https://a.ex/c-dup", TS(9), PAGE_C, "en", "s")],
+        2,
+        cfg(False, "delta"),
+    )
+    urls = sorted(r["url"] for r in t.read(spark).collect())
+    assert "https://a.ex/c-dup" not in urls, (
+        "duplicate admitted: segment append was skipped while the "
+        "enabled index kept probing"
+    )
+    assert "https://a.ex/c" in urls
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_fp_auto_enables_past_row_threshold(spark, tmp_path, write_mode):
+    """fp_index='auto' flips the index on only once the manifest's
+    live-row estimate crosses fp_auto_rows; below it no index exists
+    (small tables never pay the fixed per-epoch cost), above it the
+    cross-epoch gate goes through the bloom like fp_index=True."""
+    c = PipelineConfig(
+        n_buckets=4,
+        rules=RULES,
+        fp_index="auto",
+        fp_auto_rows=3,
+        write_mode=write_mode,
+    )
+    page_d = (
+        b"<html><body>"
+        + b"entirely fresh words about gardens rivers and mountain trails " * 4
+        + b"</body></html>"
+    )
+    page_e = (
+        b"<html><body>"
+        + b"another unique page discussing recipes spices and slow cooking " * 4
+        + b"</body></html>"
+    )
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)  # commits 2 rows
+    assert not FpBloomIndex(t.path).enabled(), "flipped below threshold"
+    assert t.rows_est == 2
+    apply(
+        spark,
+        t,
+        [
+            (40, "I", "https://a.ex/c2", TS(3), PAGE_C, "en", "s"),
+            (41, "I", "https://a.ex/d", TS(3), page_d, "en", "s"),
+        ],
+        1,
+        c,
+    )  # est was 2 (<3) at apply time; now 4
+    assert not FpBloomIndex(t.path).enabled()
+    assert t.rows_est == 4
+    # next apply sees est 4 >= 3: one-time rebuild covers ALL history
+    apply(
+        spark,
+        t,
+        [(42, "I", "https://a.ex/fresh", TS(4), page_e, "en", "s")],
+        2,
+        c,
+    )
+    assert FpBloomIndex(t.path).enabled(), "auto never flipped"
+    # gate correctness through the auto-enabled index, incl. pre-enable
+    # history (the rebuild) and post-enable appends
+    apply(
+        spark,
+        t,
+        [
+            (43, "I", "https://a.ex/dupB", TS(5), PAGE_B, "en", "s"),
+            (44, "I", "https://a.ex/dupC2", TS(5), PAGE_C, "en", "s"),
+        ],
+        3,
+        c,
+    )
+    urls = sorted(r["url"] for r in t.read(spark).collect())
+    assert "https://a.ex/dupB" not in urls
+    assert "https://a.ex/dupC2" not in urls
+    assert "https://a.ex/fresh" in urls
+
+
+def test_rows_est_is_a_strict_upper_bound(spark, tmp_path):
+    """rows_est counts committed non-delete upserts and never subtracts
+    deletes: a delete of an absent key must not drag the estimate below
+    the true live count (est >= live always)."""
+    c = cfg(False, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)
+    assert t.rows_est == 2
+    # delete of a key that was never live: est must NOT drop below live
+    apply(
+        spark, t,
+        [(50, "D", "https://a.ex/never-seen", TS(6), None, None, "s")],
+        1, c,
+    )
+    assert t.rows_est == 2
+    live = t.read(spark).count()
+    assert t.rows_est >= live

@@ -164,6 +164,10 @@ def test_cas_backend_config_plumbing(tmp_path):
 
 
 def test_retry_lost_race_unit():
+    from qwatch_spark.plans.commit_backend import (
+        CommitConflictError,
+        StaleBaseError,
+    )
     from qwatch_spark.streaming.runner import _retry_lost_race
 
     calls = {"n": 0}
@@ -171,7 +175,7 @@ def test_retry_lost_race_unit():
     def flaky():
         calls["n"] += 1
         if calls["n"] < 3:
-            raise RuntimeError("concurrent writer detected on /t: ...")
+            raise CommitConflictError("concurrent writer detected on /t: ...")
         return "ok"
 
     assert _retry_lost_race(flaky) == "ok" and calls["n"] == 3
@@ -185,10 +189,23 @@ def test_retry_lost_race_unit():
         _retry_lost_race(real_error)
 
     def always_losing():
-        raise RuntimeError("concurrent writer detected on /t: ...")
+        raise StaleBaseError("prewritten version 7 is stale ...")
 
-    with pytest.raises(RuntimeError, match="concurrent writer"):
+    with pytest.raises(CommitConflictError, match="stale"):
         _retry_lost_race(always_losing, attempts=3)
+
+    # the round-4 ADVICE case: an UNRELATED error whose message happens
+    # to contain the old substrings must surface immediately, not be
+    # silently retried 20x — lost races are now a TYPE, not a string
+    phrases = {"n": 0}
+
+    def coincidental():
+        phrases["n"] += 1
+        raise RuntimeError("config key 'stale_ttl' rejected by concurrent writer pool")
+
+    with pytest.raises(RuntimeError, match="stale_ttl"):
+        _retry_lost_race(coincidental)
+    assert phrases["n"] == 1, "untyped error was retried on substring match"
 
 
 def test_run_stream_survives_racing_maintenance(spark, tmp_path):

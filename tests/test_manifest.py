@@ -4,6 +4,7 @@ duplicate-delivery path, and dead-letter exactly-once under re-delivery."""
 
 import json
 import os
+import time
 
 from pyspark.sql import types as T
 
@@ -632,3 +633,29 @@ def test_shard_cache_evicts_superseded_snapshots(tmp_path):
         t._buckets_of(t._manifest)  # reader load populates the cache
     sids = [k[0] for k in t._shard_cache]
     assert len(sids) == len(set(sids)), f"stale shard snapshots: {sorted(t._shard_cache)}"
+
+
+def test_vacuum_retention_uses_newest_mtime_in_staging_tree(tmp_path):
+    """Writing parquet inside b=<n> subdirs does not bump the v=<token>
+    dir's own mtime — retention must key off the NEWEST mtime anywhere
+    in the staged tree, or a writer whose staging phase outlives the
+    window after dir creation loses still-being-written files (ADVICE
+    r4). An all-old tree still expires."""
+    t = SnapshotTable.create(str(tmp_path / "t"), SCHEMA, n_buckets=4)
+    staged = os.path.join(t.path, "data", "v=99-cafef00d")
+    bdir = os.path.join(staged, "b=0")
+    os.makedirs(bdir)
+    old = time.time() - 3600
+    inflight = os.path.join(bdir, "part-0.parquet")
+    open(inflight, "w").close()
+    # the top dir (and the b= dir) look an hour old; the data file is
+    # fresh — exactly the long-staging-writer shape
+    os.utime(staged, (old, old))
+    os.utime(bdir, (old, old))
+    assert "v=99-cafef00d" not in t.vacuum(retention_s=600)
+    assert os.path.exists(inflight), "in-flight staged file collected"
+    # once every file in the tree is older than the window, it expires
+    os.utime(inflight, (old, old))
+    os.utime(staged, (old, old))
+    assert "v=99-cafef00d" in t.vacuum(retention_s=600)
+    assert not os.path.isdir(staged)

@@ -171,3 +171,26 @@ def test_pack_chunk_spans_partition_invariants(spark):
             assert r["tok_start"] == pos
             pos += r["n_tok_in_chunk"]
         assert pos == n_tok_of[did]
+
+
+def test_global_prefix_sum_rejects_duplicate_order_values(spark):
+    """Duplicate order_col values would give tied rows arbitrary
+    relative prefix sums run to run — the module's determinism contract
+    says fail loudly instead (ADVICE r4). The check rides the existing
+    totals job, so unique inputs pay no extra pass."""
+    import pytest
+
+    from qwatch_spark.operators.sampling import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (5, 40)], "ord long, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        global_prefix_sum(df, "v", "ord")
+    ok = global_prefix_sum(
+        spark.createDataFrame([(1, 10), (2, 20), (5, 40)], "ord long, v long"),
+        "v",
+        "ord",
+    )
+    got = {r["ord"]: r["prefix_sum"] for r in ok.collect()}
+    assert got == {1: 0, 2: 10, 5: 30}

@@ -370,3 +370,47 @@ def test_ivf_index_append_is_probe_visible(spark, tmp_path):
     assert ivf_index_append(
         spark.createDataFrame([], "vec_id long, embedding array<float>"), path
     ) == 0
+
+
+def test_ivf_build_persists_lloyd_refined_codebook(spark, tmp_path):
+    """With lloyd_iters > 0 the build partitions by the REFINED
+    centroids — `_seeds` must hold those same centroids (ADVICE r4):
+    probe cell selection and incremental appends quantize against
+    `_seeds`, and a mismatched quantizer silently degrades recall.
+    Checked two ways: `_seeds` equals the refined codebook bit-for-bit,
+    and re-quantizing every indexed vector against `_seeds` reproduces
+    its stored cell partition."""
+    import numpy as np
+
+    from qwatch_spark.operators.similarity import (
+        _ivf_codebook,
+        ivf_build_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8, lloyd_iters=2)
+
+    seeds, _assign = _ivf_codebook(emb, 8, "vec_id", "embedding", 4096, 2)
+    refined = {c: np.asarray(v, dtype=np.float64) for c, v in seeds}
+    stored = {
+        int(r["cell"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{path}/_seeds").collect()
+    }
+    assert set(stored) == set(refined)
+    for c in refined:
+        assert np.array_equal(stored[c], refined[c]), f"cell {c} codebook drift"
+    # Lloyd actually moved the centroids off the original seed vectors
+    orig = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    assert any(not np.allclose(stored[c], orig[c]) for c in stored)
+
+    # quantizer consistency: stored cell == argmax cosine vs _seeds
+    mat = np.stack([stored[c] for c in sorted(stored)])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in spark.read.parquet(path).collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert int(r["cell"]) == int(np.argmax(mat @ v)), r["vec_id"]
