@@ -11,10 +11,18 @@ code:
   conditional put and the same trick Delta Lake's HDFS LogStore uses.
 - `InMemoryCasBackend` — a process-wide dict guarded by one lock: a
   faithful fake of an object store's conditional put (S3 If-None-Match,
-  GCS x-goog-if-generation-match:0, Azure If-None-Match:*). The CAS
-  tests run through BOTH backends, so the protocol provably depends on
-  nothing but these four calls — an S3 adapter is this class with
-  boto3 instead of a dict.
+  GCS x-goog-if-generation-match:0, Azure If-None-Match:*).
+- `S3CasBackend` — the S3 adapter itself, speaking boto3's client
+  surface (`put_object(IfNoneMatch="*")`, paginated `list_objects_v2`,
+  `get_object`, `delete_object`) with S3's real error semantics (412
+  PreconditionFailed = CAS lost, 409 ConditionalRequestConflict =
+  in-flight rival, re-poll). The client object is pluggable: the test
+  suite injects `FakeS3Client` (below) and runs the ENTIRE
+  backend-parametrized protocol suite through it; production uses the
+  default boto3 client — the port is configuration, not code.
+
+The CAS tests run through ALL backends, so the protocol provably
+depends on nothing but these four calls.
 
 The reference's analog is the single serial applier
 (/root/reference/outputs/neo4j.go:474-506) — one goroutine, no commit
@@ -144,7 +152,187 @@ class InMemoryCasBackend(CasBackend):
             self._store().pop(int(n), None)
 
 
-BACKENDS = {"localfs": LocalFSCasBackend, "memory": InMemoryCasBackend}
+class S3ClientError(Exception):
+    """botocore.exceptions.ClientError shape: `.response["Error"]["Code"]`
+    carries the S3 error code. FakeS3Client raises this; a real boto3
+    client raises botocore's ClientError, which has the identical
+    attribute — S3CasBackend only ever reads `.response`."""
+
+    def __init__(self, code: str, message: str = ""):
+        super().__init__(f"{code}: {message}")
+        self.response = {"Error": {"Code": code, "Message": message}}
+
+
+class FakeS3Client:
+    """Minimal in-repo fake of the boto3 S3 client surface the CAS
+    protocol needs — conditional `put_object(IfNoneMatch="*")` (S3's
+    compare-and-swap, generally available since Aug 2024), paginated
+    `list_objects_v2`, `get_object`, `delete_object`.
+
+    Object maps are class-level and keyed by bucket so every client
+    instance in the process shares one store — the same property a real
+    bucket has across SDK clients, and what lets two SnapshotTable
+    instances of the same s3:// table race each other in tests.
+    `page_size` defaults to 2 so the list-pagination loop in
+    S3CasBackend.slots() is exercised by EVERY test, not just a
+    hypothetical >1000-slot table."""
+
+    _buckets: dict[str, dict[str, str]] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, page_size: int = 2):
+        self.page_size = int(page_size)
+
+    def _bucket(self, name: str) -> dict[str, str]:
+        return self._buckets.setdefault(name, {})
+
+    def put_object(self, Bucket: str, Key: str, Body, IfNoneMatch: str | None = None):
+        data = Body.decode() if isinstance(Body, (bytes, bytearray)) else str(Body)
+        with self._lock:
+            objs = self._bucket(Bucket)
+            if IfNoneMatch == "*" and Key in objs:
+                raise S3ClientError("PreconditionFailed", Key)
+            objs[Key] = data
+        return {}
+
+    def list_objects_v2(
+        self,
+        Bucket: str,
+        Prefix: str = "",
+        ContinuationToken: str | None = None,
+        MaxKeys: int | None = None,
+    ):
+        with self._lock:
+            keys = sorted(
+                k for k in self._bucket(Bucket) if k.startswith(Prefix)
+            )
+        if ContinuationToken is not None:
+            keys = [k for k in keys if k > ContinuationToken]
+        page = keys[: MaxKeys or self.page_size]
+        out: dict = {"Contents": [{"Key": k} for k in page]}
+        if len(keys) > len(page):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = page[-1]
+        else:
+            out["IsTruncated"] = False
+        return out
+
+    def get_object(self, Bucket: str, Key: str):
+        import io
+
+        with self._lock:
+            objs = self._bucket(Bucket)
+            if Key not in objs:
+                raise S3ClientError("NoSuchKey", Key)
+            return {"Body": io.BytesIO(objs[Key].encode())}
+
+    def delete_object(self, Bucket: str, Key: str):
+        with self._lock:
+            self._bucket(Bucket).pop(Key, None)
+        return {}
+
+
+class S3CasBackend(CasBackend):
+    """CAS slot store on S3 conditional writes: slot `n` is the object
+    `<prefix>/_commits/m=<n>.json`, put-if-absent is
+    `put_object(..., IfNoneMatch="*")` — S3 returns 412
+    PreconditionFailed when the key exists (CAS lost) and may return
+    409 ConditionalRequestConflict while a concurrent conditional write
+    to the same key is in flight (undecided — re-poll until the winner
+    lands). Both map onto the same boolean this protocol needs.
+
+    `table_path` may be `s3://bucket/prefix` or a plain path (bucket
+    falls back to `cas`, the path becomes the prefix) so the
+    backend-parametrized protocol tests run unchanged. The client is
+    pluggable via the `client_factory` class hook: tests install
+    `FakeS3Client`; production leaves the default, which builds a real
+    boto3 client — making the port "swap the client object", nothing
+    else."""
+
+    dirname = "_commits"
+    client_factory = None  # set to a callable returning a client
+
+    def __init__(self, table_path: str, client=None):
+        if table_path.startswith("s3://"):
+            rest = table_path[5:]
+            bucket, _, prefix = rest.partition("/")
+        else:
+            bucket, prefix = "cas", os.path.realpath(table_path).lstrip("/")
+        self.bucket = bucket
+        self.prefix = f"{prefix.rstrip('/')}/{self.dirname}/"
+        if client is not None:
+            self.client = client
+        elif S3CasBackend.client_factory is not None:
+            self.client = S3CasBackend.client_factory()
+        else:  # pragma: no cover - no object store in this sandbox
+            import boto3  # type: ignore[import-not-found]
+
+            self.client = boto3.client("s3")
+
+    def _key(self, n: int) -> str:
+        return f"{self.prefix}m={int(n)}.json"
+
+    @staticmethod
+    def _code(exc) -> str:
+        return getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+
+    def put_if_absent(self, n: int, data: str) -> bool:
+        for _ in range(64):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=self._key(n),
+                    Body=data.encode(),
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as exc:
+                code = self._code(exc)
+                if code == "PreconditionFailed":
+                    return False  # CAS lost: slot exists
+                if code == "ConditionalRequestConflict":
+                    # concurrent conditional write in flight; outcome
+                    # undecided — re-poll (bounded) until a winner lands
+                    continue
+                raise
+        raise CommitConflictError(
+            f"slot {n}: conditional-write conflict did not settle"
+        )
+
+    def slots(self) -> list[int]:
+        out: list[int] = []
+        token: str | None = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": self.prefix}
+            if token is not None:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                name = obj["Key"][len(self.prefix):]
+                if name.startswith("m=") and name.endswith(".json"):
+                    out.append(int(name[2:-5]))
+            if not resp.get("IsTruncated"):
+                return sorted(out)
+            token = resp["NextContinuationToken"]
+
+    def read(self, n: int) -> str | None:
+        try:
+            resp = self.client.get_object(Bucket=self.bucket, Key=self._key(n))
+        except Exception as exc:
+            if self._code(exc) == "NoSuchKey":
+                return None
+            raise
+        return resp["Body"].read().decode()
+
+    def delete(self, n: int) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(n))
+
+
+BACKENDS = {
+    "localfs": LocalFSCasBackend,
+    "memory": InMemoryCasBackend,
+    "s3": S3CasBackend,
+}
 
 
 def cas_backend(kind: str, table_path: str) -> CasBackend:

@@ -268,11 +268,28 @@ def test_dead_letter_exactly_once_on_redelivery(spark, tmp_path):
 
 import pytest
 
-# Every CAS-protocol test runs through BOTH conditional-put backends
-# (localfs os.link and the in-memory object-store fake) — proving the
-# protocol depends on nothing but the 4-method CasBackend seam, so an
-# S3/GCS port is a new backend, not a protocol change.
-CAS_BACKENDS = ["localfs", "memory"]
+# Every CAS-protocol test runs through ALL conditional-put backends —
+# localfs os.link, the in-memory object-store fake, and the S3-shaped
+# adapter speaking boto3's conditional-put surface against an in-repo
+# fake client — proving the protocol depends on nothing but the
+# 4-method CasBackend seam, so the production S3 port is "swap the
+# client object", not a protocol change.
+CAS_BACKENDS = ["localfs", "memory", "s3"]
+
+
+@pytest.fixture(autouse=True)
+def _fake_s3_client():
+    """Route the s3 backend at the in-repo FakeS3Client (page_size=2 so
+    slots() pagination is exercised by every multi-commit test) and
+    reset its shared bucket map per test."""
+    from qwatch_spark.plans import commit_backend as cb
+
+    prev = cb.S3CasBackend.client_factory
+    cb.S3CasBackend.client_factory = cb.FakeS3Client
+    cb.FakeS3Client._buckets.clear()
+    yield
+    cb.S3CasBackend.client_factory = prev
+    cb.FakeS3Client._buckets.clear()
 
 
 @pytest.mark.parametrize("backend", CAS_BACKENDS)
@@ -462,6 +479,50 @@ def test_cas_threads_race_with_retry_no_lost_commits(tmp_path, backend):
     # gap-free mutation history: m=0 (create) .. m=top all exist
     logged = final.commit_log_backend().slots()
     assert logged == list(range(final._manifest["mutation"] + 1))
+
+
+def test_s3_backend_speaks_boto3_conditional_put_surface(tmp_path):
+    """S3-specific semantics on top of the shared protocol suite:
+    s3:// URL parsing, list pagination across >1 page of slots, 412
+    PreconditionFailed → CAS lost, transient 409
+    ConditionalRequestConflict → re-poll until settled, NoSuchKey →
+    None. The fake's page_size=2 means the 7-slot listing here takes 4
+    LIST round-trips."""
+    from qwatch_spark.plans.commit_backend import (
+        FakeS3Client,
+        S3CasBackend,
+        S3ClientError,
+    )
+
+    client = FakeS3Client()
+    b = S3CasBackend("s3://lake/warehouse/pages", client=client)
+    assert b.bucket == "lake" and b.prefix == "warehouse/pages/_commits/"
+    for n in range(7):
+        assert b.put_if_absent(n, f'{{"mutation": {n}}}')
+    assert not b.put_if_absent(3, "loser")  # 412 → CAS lost
+    assert b.slots() == list(range(7))  # paginated LIST, 4 pages
+    assert b.read(3) == '{"mutation": 3}'  # winner's data intact
+    assert b.read(99) is None  # NoSuchKey
+    b.delete(0)
+    assert b.slots() == list(range(1, 7))
+
+    # 409: in-flight concurrent conditional write — undecided, so the
+    # backend re-polls; here the rival's put lands between polls and the
+    # retry resolves to False (slot exists), never an exception.
+    flaky_calls = {"n": 0}
+    real_put = client.put_object
+
+    def flaky_put(**kw):
+        if kw.get("Key", "").endswith("m=7.json") and flaky_calls["n"] < 2:
+            flaky_calls["n"] += 1
+            if flaky_calls["n"] == 2:
+                real_put(**kw)  # rival wins while we back off
+            raise S3ClientError("ConditionalRequestConflict", kw["Key"])
+        return real_put(**kw)
+
+    client.put_object = flaky_put
+    assert b.put_if_absent(7, "ours") is False
+    assert b.read(7) == "ours"  # the rival's (identical-slot) write won
 
 
 def test_sharded_manifest_equivalent_state_and_bounded_commit_io(spark, tmp_path):
