@@ -91,9 +91,43 @@ def _ivf_probe(spark, sf_dir):
     )
 
 
+def _dedup_canonical(spark, sf_dir):
+    """Cluster-canonical selection timed SEPARATELY from pair
+    generation: connected components over a precomputed (cached) pair
+    set + canonical anti-join. Keeps `near_dup_refine_500docs` a pure
+    pairs number and gives the iterative CC rounds their own entry."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.dedup_text import dedup_keep_canonical
+
+    if not hasattr(_dedup_canonical, "pairs"):
+        docs = q.ld(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        _dedup_canonical.docs = docs
+        _dedup_canonical.pairs = _near_dup_bounded(spark, sf_dir).localCheckpoint()
+        _dedup_canonical.work = tempfile.mkdtemp(
+            prefix="qwatch_bench_cc_", dir=_fast_dir()
+        )
+    return dedup_keep_canonical(
+        _dedup_canonical.docs,
+        _dedup_canonical.pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+        work_dir=_dedup_canonical.work,
+    )
+
+
 EXTRA_BENCH = {
     "near_dup_refine_500docs": _near_dup_bounded,
     "ivf_probe_partition_pruned": _ivf_probe,
+}
+
+# Entries whose operator runs ACTIONS inside the call (iterative
+# connected components) — timed around the call itself, not a later
+# force(), or the measured window would miss the actual work.
+EAGER_BENCH = {
+    "dedup_canonical_500docs": _dedup_canonical,
 }
 
 
@@ -288,21 +322,97 @@ class EntityBench(_Bench):
         tables = create_entity_tables(
             f"{self.tmp}/t{i}", self.specs, self.links, n_buckets=self.cfg.n_buckets
         )
+        epoch_stats = []
         for e in range(2):
             batch = self.feed.filter(self.feed.epoch_hint == e).drop("epoch_hint")
-            apply_entity_changes(
-                self.spark, batch, self.specs, tables, e, links=self.links, cfg=self.cfg
+            epoch_stats.append(
+                apply_entity_changes(
+                    self.spark, batch, self.specs, tables, e,
+                    links=self.links, cfg=self.cfg,
+                )
             )
-        return None
+        return epoch_stats
 
     def finish(self) -> dict:
-        wall, _ = self.best()
+        wall, stats = self.best()
+        # stats: per-epoch dict of table -> ApplyStats. Two breakdowns:
+        # phases summed over all table-epochs (where does an epoch's
+        # time go), and per-table wall sums (which table is slow). The
+        # applies run thread-parallel, so table walls OVERLAP — their
+        # sum exceeding the trial wall means the overlap is working.
+        table_walls: dict[str, float] = {}
+        for ep in stats:
+            for name, s in ep.items():
+                table_walls[name] = round(
+                    table_walls.get(name, 0.0) + s.wall_ms / 1000.0, 3
+                )
         out = {
             "entity_events": self.n_events,
             "entity_wall_sec": round(wall, 3),
             "entity_wall_sec_trials": [round(w, 3) for w in self.walls],
             "entity_events_per_sec": round(self.n_events / wall, 1),
             "entity_tables": len(self.specs) + len(self.links),
+            "entity_phases": _sum_phases(
+                [s for ep in stats for s in ep.values()]
+            ),
+            "entity_table_walls": table_walls,
+        }
+        shutil.rmtree(self.tmp, ignore_errors=True)
+        return out
+
+
+class EntityStreamBench(_Bench):
+    """The multi-entity apply driven through the Structured Streaming
+    runner (file source → foreachBatch → per-table exactly-once commits)
+    — the streaming twin of EntityBench, so trigger/checkpoint overhead
+    on the multi-table path is driver-visible next to the batch number
+    (it was previously pytest-only)."""
+
+    def __init__(self, spark, n_events: int, cpus: int):
+        super().__init__("entity_stream")
+        from qwatch_spark.datagen import write_entity_feed_files
+        from qwatch_spark.queries import entity_graph_specs
+
+        self.spark, self.n_events = spark, n_events
+        self.specs, self.links = entity_graph_specs()
+        self.cfg = PipelineConfig(
+            n_buckets=max(32, cpus), write_mode="auto", rules=(),
+            max_files_per_trigger=4,
+        )
+        self.tmp = tempfile.mkdtemp(
+            prefix="qwatch_bench_estream_", dir=_fast_dir()
+        )
+        write_entity_feed_files(
+            spark, f"{self.tmp}/feed", n_events, files=8,
+            n_domains=2000, pages_per_domain=5000,
+            num_partitions=cpus * 2,
+        )
+        from qwatch_spark.streaming import run_entity_stream
+
+        write_entity_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=2)
+        run_entity_stream(
+            spark, f"{self.tmp}/warmfeed", f"{self.tmp}/warm",
+            f"{self.tmp}/warmck", self.specs, self.links, self.cfg,
+        )
+
+    def trial(self, i: int):
+        from qwatch_spark.streaming import run_entity_stream
+
+        return run_entity_stream(
+            self.spark, f"{self.tmp}/feed", f"{self.tmp}/t{i}",
+            f"{self.tmp}/ck{i}", self.specs, self.links, self.cfg,
+        )
+
+    def finish(self) -> dict:
+        wall, stats = self.best()
+        flat = [s for ep in stats for s in ep.values()]
+        out = {
+            "entity_stream_events": self.n_events,
+            "entity_stream_wall_sec": round(wall, 3),
+            "entity_stream_wall_sec_trials": [round(w, 3) for w in self.walls],
+            "entity_stream_events_per_sec": round(self.n_events / wall, 1),
+            "entity_stream_epochs": len(stats),
+            "entity_stream_phases": _sum_phases(flat),
         }
         shutil.rmtree(self.tmp, ignore_errors=True)
         return out
@@ -333,21 +443,29 @@ def main() -> None:
         t0 = time.time()
         force(df)
         timings[name] = round(time.time() - t0, 3)
+    for name, fn in EAGER_BENCH.items():
+        force(fn(spark, sf_dir))  # warm
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
 
     n_stream = int(os.environ.get("QWATCH_BENCH_STREAM_EVENTS", "500000"))
     n_entity = int(os.environ.get("QWATCH_BENCH_ENTITY_EVENTS", "1000000"))
+    n_estream = int(os.environ.get("QWATCH_BENCH_ESTREAM_EVENTS", "500000"))
     benches = [
         CdcBench(spark, n_events, cpus),
         StreamBench(spark, n_stream, cpus),
         EntityBench(spark, n_entity, cpus),
+        EntityStreamBench(spark, n_estream, cpus),
     ]
-    for i in range(n_trials):  # interleaved: cdc, stream, entity, cdc, ...
+    for i in range(n_trials):  # interleaved: cdc, stream, entity, ..., cdc, ...
         for b in benches:
             b.run(i)
-    cdc, stream, entity = (b.finish() for b in benches)
+    cdc, stream, entity, estream = (b.finish() for b in benches)
     timings["cdc_apply"] = cdc["cdc_wall_sec"]
     timings["stream_apply"] = stream["stream_wall_sec"]
     timings["entity_apply"] = entity["entity_wall_sec"]
+    timings["entity_stream"] = estream["entity_stream_wall_sec"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -361,6 +479,7 @@ def main() -> None:
         **cdc,
         **stream,
         **entity,
+        **estream,
     }
     spark.stop()
     print(json.dumps(out))

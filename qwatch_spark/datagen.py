@@ -223,6 +223,22 @@ def write_feed_files(
     """Write the feed as `files` flat parquet files (one per seq range) so
     a file-tailing readStream sees an append-only WAL directory — the
     analog of the reference's GELF/event tail (SURVEY.md §2.1 S1/S2)."""
+    return _write_ranged_files(spark, gen_feed_df, out_dir, n, files, **kwargs)
+
+
+def write_entity_feed_files(
+    spark: SparkSession, out_dir: str, n: int, files: int, **kwargs
+) -> list[str]:
+    """`write_feed_files` for the discriminated multi-entity feed —
+    feeds `run_entity_stream` the same append-only WAL shape."""
+    return _write_ranged_files(
+        spark, gen_entity_feed_df, out_dir, n, files, **kwargs
+    )
+
+
+def _write_ranged_files(
+    spark: SparkSession, gen, out_dir: str, n: int, files: int, **kwargs
+) -> list[str]:
     import glob as _glob
     import os
     import shutil
@@ -234,7 +250,7 @@ def write_feed_files(
         lo, hi = i * per, ((i + 1) * per if i < files - 1 else n)
         if lo >= n:
             break
-        part = gen_feed_df(spark, hi, **kwargs).filter(F.col("seq") >= lo)
+        part = gen(spark, hi, **kwargs).filter(F.col("seq") >= lo)
         tmp = os.path.join(out_dir, f"_tmp-{i:05d}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
