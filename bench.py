@@ -182,12 +182,25 @@ class CdcBench(_Bench):
         # oracle is pytest-gated (tests/test_delta_mode.py)
         self.cfg = PipelineConfig(n_buckets=max(32, cpus), write_mode="auto")
         self.tmp = tempfile.mkdtemp(prefix="qwatch_bench_", dir=_fast_dir())
-        # warmup epoch (excluded): C2 JIT tiering + codecs + python workers
+        # warmup (excluded): C2 JIT tiering + codecs + python workers.
+        # TWO epochs, not one — under write_mode="auto" epoch 0 takes the
+        # COW path and epochs >= 1 the delta path, so a one-epoch warmup
+        # leaves the delta write plan cold and trial 0 runs 2-3x slow
+        # (measured; it was the r4 artifact's loose-trial culprit).
         from qwatch_spark.operators.apply import apply_changes
 
         wt = SnapshotTable.create(f"{self.tmp}/warm", n_buckets=self.cfg.n_buckets)
-        warm = gen_feed_df(spark, 100_000, num_partitions=cpus * 2).drop("epoch_hint")
-        apply_changes(spark, warm, wt, 0, self.cfg)
+        warm = gen_feed_df(
+            spark, 200_000, epoch_size=100_000, num_partitions=cpus * 2
+        )
+        for e in range(2):
+            apply_changes(
+                spark,
+                warm.filter(warm.epoch_hint == e).drop("epoch_hint"),
+                wt,
+                e,
+                self.cfg,
+            )
         self.feed = gen_feed_df(
             spark,
             n_events,
@@ -236,10 +249,12 @@ class StreamBench(_Bench):
         write_feed_files(spark, f"{self.tmp}/feed", n_events, files=8)
         # warmup (excluded): the streaming runner's plan shapes (file
         # source, foreachBatch, dead-letter probe) JIT on a small feed so
-        # trial 1 is a real sample, not a codegen warmup
+        # trial 1 is a real sample, not a codegen warmup. 8 files /
+        # trigger cap 4 = two epochs, so the delta write path (epochs
+        # >= 1 under write_mode="auto") is warm too.
         from qwatch_spark.streaming import run_stream
 
-        write_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=2)
+        write_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=8)
         wt = SnapshotTable.create(f"{self.tmp}/warm", n_buckets=self.cfg.n_buckets)
         run_stream(spark, f"{self.tmp}/warmfeed", wt.path, f"{self.tmp}/warmck", self.cfg)
 
@@ -297,7 +312,11 @@ class EntityBench(_Bench):
         # warmup (excluded): entity routing + skeleton union + link
         # derivation have their own plan shapes (bench_scaling learned
         # this the hard way — single-table warmup left entity codegen in
-        # the measured window)
+        # the measured window). Two epochs so the delta write path
+        # (epochs >= 1 under write_mode="auto") is warm too — a one-epoch
+        # warmup left trial 0 running 2.4x slow (measured), which under
+        # interleaved best-of-3 on a noisy host is exactly how the r4
+        # artifact's 129k ev/s reading happened.
         from qwatch_spark.operators.entities import (
             apply_entity_changes,
             create_entity_tables,
@@ -306,22 +325,29 @@ class EntityBench(_Bench):
         wt = create_entity_tables(
             f"{self.tmp}/warm", self.specs, self.links, n_buckets=self.cfg.n_buckets
         )
-        warm = gen_entity_feed_df(spark, 50_000, num_partitions=cpus).drop(
-            "epoch_hint"
+        warm = gen_entity_feed_df(
+            spark, 200_000, epoch_size=100_000, num_partitions=cpus * 2
         )
-        apply_entity_changes(
-            spark, warm, self.specs, wt, 0, links=self.links, cfg=self.cfg
-        )
+        for e in range(2):
+            apply_entity_changes(
+                spark,
+                warm.filter(warm.epoch_hint == e).drop("epoch_hint"),
+                self.specs, wt, e, links=self.links, cfg=self.cfg,
+            )
+        # trial tables are created OUTSIDE the timed window (r3 protocol
+        # parity: table DDL is not apply throughput)
+        self.tables = [
+            create_entity_tables(
+                f"{self.tmp}/t{i}", self.specs, self.links,
+                n_buckets=self.cfg.n_buckets,
+            )
+            for i in range(int(os.environ.get("QWATCH_BENCH_TRIALS", "3")))
+        ]
 
     def trial(self, i: int):
-        from qwatch_spark.operators.entities import (
-            apply_entity_changes,
-            create_entity_tables,
-        )
+        from qwatch_spark.operators.entities import apply_entity_changes
 
-        tables = create_entity_tables(
-            f"{self.tmp}/t{i}", self.specs, self.links, n_buckets=self.cfg.n_buckets
-        )
+        tables = self.tables[i]
         epoch_stats = []
         for e in range(2):
             batch = self.feed.filter(self.feed.epoch_hint == e).drop("epoch_hint")
@@ -389,7 +415,8 @@ class EntityStreamBench(_Bench):
         )
         from qwatch_spark.streaming import run_entity_stream
 
-        write_entity_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=2)
+        # 8 files / trigger cap 4 = two warm epochs (COW + delta paths)
+        write_entity_feed_files(spark, f"{self.tmp}/warmfeed", 50_000, files=8)
         run_entity_stream(
             spark, f"{self.tmp}/warmfeed", f"{self.tmp}/warm",
             f"{self.tmp}/warmck", self.specs, self.links, self.cfg,
