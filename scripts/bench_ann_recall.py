@@ -1,0 +1,122 @@
+"""Measured recall@k for the ANN family vs brute force — the evidence
+that the approximate paths' parameter guidance actually delivers.
+
+Protocol: for each of `QUERIES` deterministic query ids over the sf
+embeddings table, compute exact cosine top-k (ground truth — the same
+ranking q31_cosine_topk oracle-proves against DuckDB, computed here with
+numpy over the collected corpus; sf0.1 is 2k x 64 doubles, ~1 MB) and
+each approximate system's top-k, then report mean recall@k =
+|approx ∩ truth| / k averaged over queries.
+
+Systems x parameter points:
+  - lsh: ann_topk_lsh (sign-random-hyperplane, multi-band OR) at the
+    default and two scaled settings
+  - ivf: ivf_build_index + ivf_probe_topk (materialized
+    cell-partitioned index, driver-side probe selection) at two
+    (n_cells, n_probe) points, each with and without Lloyd refinement
+
+Run: python scripts/bench_ann_recall.py [sf_dir]
+Prints one JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qwatch_spark.operators.similarity import (  # noqa: E402
+    ann_topk_lsh,
+    ivf_build_index,
+    ivf_probe_topk,
+)
+from qwatch_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = int(os.environ.get("ANN_RECALL_QUERIES", "10"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="ann_recall",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    n = len(ids)
+    queries = [int(ids[i]) for i in range(0, n, max(1, n // N_QUERIES))][
+        :N_QUERIES
+    ]
+
+    def truth(qid: int) -> set[int]:
+        qi = int(np.where(ids == qid)[0][0])
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        sims[qi] = -np.inf  # exclude self, like every system under test
+        # tie-break toward lower id, matching cosine_topk's ordering
+        order = np.lexsort((ids, -np.round(sims, 9)))
+        return {int(i) for i in ids[order][:K]}
+
+    truths = {q: truth(q) for q in queries}
+
+    def recall(fn) -> tuple[float, float]:
+        hits, t0 = 0, time.time()
+        for q in queries:
+            got = {r["vec_id"] for r in fn(q).collect()}
+            hits += len(got & truths[q])
+        return round(hits / (K * len(queries)), 3), round(
+            (time.time() - t0) / len(queries), 3
+        )
+
+    out: dict = {"sf_dir": sf_dir, "k": K, "n_queries": len(queries), "systems": {}}
+
+    for label, planes, bands in [
+        ("lsh_16p_8b", 16, 8),      # default: 8 bands x 2 bits
+        ("lsh_32p_8b", 32, 8),      # 8 bands x 4 bits (longer bands)
+        ("lsh_64p_16b", 64, 16),    # 16 bands x 4 bits (more ORs)
+    ]:
+        r, qs = recall(
+            lambda q, p=planes, b=bands: ann_topk_lsh(
+                emb, q, k=K, n_planes=p, n_bands=b
+            )
+        )
+        out["systems"][label] = {"recall_at_10": r, "sec_per_query": qs}
+
+    qvec = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    for n_cells, n_probe, lloyd in [
+        (8, 2, 0),
+        (8, 2, 5),
+        (8, 4, 0),
+        (8, 4, 5),
+        (16, 4, 5),
+    ]:
+        path = tempfile.mkdtemp(prefix="ann_recall_ivf_")
+        ivf_build_index(emb, path, n_cells=n_cells, lloyd_iters=lloyd)
+        r, qs = recall(
+            lambda q: ivf_probe_topk(
+                spark, path, qvec[q], k=K, n_probe=n_probe, exclude_id=q
+            )
+        )
+        label = f"ivf_{n_cells}c_{n_probe}p" + (f"_lloyd{lloyd}" if lloyd else "")
+        out["systems"][label] = {"recall_at_10": r, "sec_per_query": qs}
+        shutil.rmtree(path, ignore_errors=True)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

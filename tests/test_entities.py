@@ -382,3 +382,51 @@ def test_feed_schema_envelope_collision_raises():
     )
     s = derive_feed_schema([PAGE, ok])
     assert s["seq"].dataType == T.LongType()
+
+
+def test_entity_stream_from_generated_feed_files_matches_batch(spark, tmp_path):
+    """write_entity_feed_files -> run_entity_stream equals the same feed
+    applied in batch. Also pins the schema-subset contract: the files
+    carry extra columns (epoch_hint) that the derived feed schema omits,
+    and the streaming read must project the declared subset, not fail or
+    route bookkeeping columns into tables."""
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.datagen import gen_entity_feed_df, write_entity_feed_files
+    from qwatch_spark.operators.entities import (
+        apply_entity_changes,
+        create_entity_tables,
+    )
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+    from qwatch_spark.queries import entity_graph_specs
+    from qwatch_spark.streaming import run_entity_stream
+
+    specs, links = entity_graph_specs()
+    cfg = PipelineConfig(rules=(), n_buckets=4, max_files_per_trigger=2)
+    n = 3000
+
+    write_entity_feed_files(spark, str(tmp_path / "feed"), n, files=4)
+    sbase = str(tmp_path / "stream_tables")
+    stats = run_entity_stream(
+        spark, str(tmp_path / "feed"), sbase, str(tmp_path / "ck"),
+        specs, links, cfg,
+    )
+    assert len(stats) == 2  # 4 files / trigger cap 2
+
+    bbase = str(tmp_path / "batch_tables")
+    btables = create_entity_tables(bbase, specs, links, n_buckets=4)
+    batch = gen_entity_feed_df(spark, n).drop("epoch_hint")
+    apply_entity_changes(spark, batch, specs, btables, 0, links=links, cfg=cfg)
+
+    for name in ("page", "domain", "page_domain"):
+        key = {"page": "url", "domain": "dom", "page_domain": "src"}[name]
+        cols = [c for c in SnapshotTable(f"{sbase}/{name}").read(spark).columns]
+        assert "epoch_hint" not in cols  # bookkeeping never routed
+        s_rows = sorted(
+            tuple(r) for r in SnapshotTable(f"{sbase}/{name}")
+            .read(spark).select(*sorted(cols)).collect()
+        )
+        b_rows = sorted(
+            tuple(r) for r in SnapshotTable(f"{bbase}/{name}")
+            .read(spark).select(*sorted(cols)).collect()
+        )
+        assert s_rows == b_rows, name
