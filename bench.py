@@ -118,9 +118,34 @@ def _dedup_canonical(spark, sf_dir):
     )
 
 
+def _lsh_probe(spark, sf_dir):
+    """Build the (band, bucket)-partitioned LSH index once, then time
+    the partition-pruned probe (the LSH serving path — the ad-hoc
+    ann_topk_lsh rehashes the corpus per query; this opens only the
+    n_bands directories the query collides with)."""
+    import tempfile
+
+    from qwatch_spark.operators.similarity import lsh_build_index, lsh_probe_topk
+
+    if not hasattr(_lsh_probe, "path"):
+        _lsh_probe.path = tempfile.mkdtemp(
+            prefix="qwatch_bench_lsh_", dir=_fast_dir()
+        )
+        emb = q.ld(spark, sf_dir, "embeddings")
+        lsh_build_index(emb, _lsh_probe.path, n_planes=16, n_bands=8)
+        _lsh_probe.qvec = [
+            float(x)
+            for x in emb.filter(emb.vec_id == 0).first()["embedding"]
+        ]
+    return lsh_probe_topk(
+        spark, _lsh_probe.path, _lsh_probe.qvec, k=10, exclude_id=0
+    )
+
+
 EXTRA_BENCH = {
     "near_dup_refine_500docs": _near_dup_bounded,
     "ivf_probe_partition_pruned": _ivf_probe,
+    "lsh_probe_partition_pruned": _lsh_probe,
 }
 
 # Entries whose operator runs ACTIONS inside the call (iterative

@@ -515,6 +515,142 @@ def ivf_probe_topk(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def lsh_build_index(
+    vectors: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the sign-LSH index as a (band, bucket)-PARTITIONED
+    parquet layout — the serving form of `ann_topk_lsh`. The ad-hoc
+    query recomputes corpus signatures per query (fine for one-off
+    sweeps, measured ~12× an IVF probe per query in the recall study);
+    this pays the hashing once and turns every probe into a
+    partition-pruned read of exactly the n_bands directories the query
+    lands in. Layout:
+
+        path/band=<b>/bucket=<k>/part-*.parquet   (id, embedding)
+        path/_params/part-*.parquet   (n_planes, n_bands, dim, seed)
+
+    One row per (vector, band) — the L hash tables of classic LSH, so
+    the index footprint is n_bands × the corpus: the standard LSH
+    space-for-recall trade, stated rather than hidden. The write
+    repartitions on (band, bucket) so each directory is written by one
+    task (one file per bucket, no small-file spray); a pathologically
+    hot bucket at corpus scale means the bands are too short for the
+    corpus — raise bits per band (see ann_topk_lsh's tuning note)
+    before reaching for write-side salting. `_params` persists the
+    hyperplane parameters; probes and appends MUST hash with them (a
+    re-derived quantizer silently degrades recall — same invariant as
+    the IVF `_seeds` snapshot)."""
+    bucketed = lsh_rand_buckets(
+        vectors, n_planes, n_bands, dim, seed, id_col, vec_col
+    )
+    (
+        bucketed.repartition("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(path)
+    )
+    params = vectors.sparkSession.createDataFrame(
+        [(n_planes, n_bands, dim, seed)],
+        "n_planes int, n_bands int, dim int, seed int",
+    )
+    params.coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def _lsh_index_params(spark, path: str):
+    rows = spark.read.parquet(f"{path}/_params").collect()
+    if not rows:
+        raise ValueError(f"LSH index at {path} has no _params")
+    return rows[0]
+
+
+def lsh_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) index growth: hash ONLY the new vectors with the
+    persisted `_params` hyperplanes and append them into their
+    (band, bucket) directories — no rebuild, no touch of existing
+    files, immediately probe-visible (mirrors ivf_index_append)."""
+    p = _lsh_index_params(new_vectors.sparkSession, path)
+    bucketed = lsh_rand_buckets(
+        new_vectors,
+        int(p["n_planes"]),
+        int(p["n_bands"]),
+        int(p["dim"]),
+        int(p["seed"]),
+        id_col,
+        vec_col,
+    )
+    (
+        bucketed.repartition("band", "bucket")
+        .write.mode("append")
+        .partitionBy("band", "bucket")
+        .parquet(path)
+    )
+
+
+def lsh_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a built LSH index: hash the query with the SAME persisted
+    (n_planes, n_bands, dim, seed) hyperplanes — one tiny Spark job over
+    a single-row local relation, so the bucket math runs the exact
+    decimal-summed expressions the build used, never a float
+    re-derivation whose sign could flip at a near-zero projection —
+    then exact-cosine top-k over ONLY the n_bands (band, bucket)
+    directories the query collides with. The OR-of-pairs predicate
+    references only partition columns, so it lands in the scan's
+    PartitionFilters: the probe opens n_bands directories out of
+    n_bands × 2^bits (plan-asserted in tests). Candidates colliding in
+    several bands are deduplicated before scoring, so each is scored
+    once. Results are identical to `ann_topk_lsh` at the same
+    parameters (pytest-pinned)."""
+    p = _lsh_index_params(spark, path)
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])],
+        f"{id_col} bigint, {vec_col} array<double>",
+    )
+    qb = lsh_rand_buckets(
+        qdf,
+        int(p["n_planes"]),
+        int(p["n_bands"]),
+        int(p["dim"]),
+        int(p["seed"]),
+        id_col,
+        vec_col,
+    ).select("band", "bucket").collect()  # bounded: n_bands rows
+    pred = None
+    for r in qb:
+        c = (F.col("band") == int(r["band"])) & (
+            F.col("bucket") == int(r["bucket"])
+        )
+        pred = c if pred is None else pred | c
+    idx = spark.read.parquet(path).filter(pred)
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    cand = idx.select(id_col, vec_col).dropDuplicates([id_col])
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), qarr).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

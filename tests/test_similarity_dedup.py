@@ -414,3 +414,88 @@ def test_ivf_build_persists_lloyd_refined_codebook(spark, tmp_path):
         v = np.asarray(r["embedding"], dtype=np.float64)
         v = v / np.linalg.norm(v)
         assert int(r["cell"]) == int(np.argmax(mat @ v)), r["vec_id"]
+
+
+def test_lsh_index_probe_matches_adhoc_and_prunes(spark, emb, tmp_path):
+    """Built LSH index: the probe must (a) read ONLY the n_bands
+    (band, bucket) directories the query hashes into — the predicate
+    lands in PartitionFilters, the serving-scale property — and
+    (b) return exactly what ad-hoc ann_topk_lsh returns at the same
+    parameters (same planes, same decimal bucket math, same scoring)."""
+    import re
+
+    from qwatch_spark.operators.similarity import lsh_build_index, lsh_probe_topk
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path, n_planes=16, n_bands=8)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    got = lsh_probe_topk(spark, path, qvec, k=10, exclude_id=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "band" in m.group(1) and "bucket" in m.group(1), (
+        f"no partition filter on band/bucket:\n{plan}"
+    )
+    want = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_topk_lsh(emb, 3, k=10, n_planes=16, n_bands=8).collect()
+    }
+    res = {r["vec_id"]: r["cosine"] for r in got.collect()}
+    assert res == want
+
+
+def test_lsh_index_append_is_probe_visible(spark, emb, tmp_path):
+    """O(batch) growth: build on half the corpus, append the rest —
+    probes must see appended vectors without a rebuild, and the final
+    top-k must equal the ad-hoc query over the FULL corpus."""
+    from qwatch_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_index_append,
+        lsh_probe_topk,
+    )
+
+    split = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb.filter(F.col("vec_id") <= split), path)
+    base_files = set(spark.read.parquet(path).inputFiles())
+    lsh_index_append(emb.filter(F.col("vec_id") > split), path)
+    assert set(spark.read.parquet(path).inputFiles()) > base_files
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in lsh_probe_topk(spark, path, qvec, k=10, exclude_id=3).collect()
+    }
+    want = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_topk_lsh(emb, 3, k=10).collect()
+    }
+    assert got == want
+    assert any(v > split for v in got), "no appended vector in top-k slice"
+
+
+def test_lsh_probe_missing_params_raises(spark, emb, tmp_path):
+    import shutil
+
+    from qwatch_spark.operators.similarity import lsh_build_index, lsh_probe_topk
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path)
+    shutil.rmtree(f"{path}/_params")
+    with pytest.raises(Exception):
+        lsh_probe_topk(spark, path, [0.0] * 64, k=5)
+
+
+def test_lsh_probe_wrong_dim_raises(spark, emb, tmp_path):
+    """A query vector shorter than the indexed dim must fail loudly
+    (zip_with would silently truncate the projection otherwise)."""
+    from qwatch_spark.operators.similarity import lsh_build_index, lsh_probe_topk
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path)
+    with pytest.raises(ValueError, match="length"):
+        lsh_probe_topk(spark, path, [0.5] * 10, k=5).collect()
