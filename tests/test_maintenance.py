@@ -151,7 +151,7 @@ def test_cas_backend_config_plumbing(tmp_path):
     from qwatch_spark.queries import entity_graph_specs
 
     with pytest.raises(ValueError, match="cas_backend"):
-        PipelineConfig(cas_backend="s3")
+        PipelineConfig(cas_backend="not_a_backend")
     specs, links = entity_graph_specs()
     tables = create_entity_tables(
         str(tmp_path / "g"), specs, links, n_buckets=4,
