@@ -75,24 +75,32 @@ def main():
         cfg_on = PipelineConfig(
             n_buckets=64, rules=RULES, write_mode="delta", fp_index=True
         )
+        # the 100 TB default: let the engine pick a side from the
+        # manifest's live-row estimate vs the measured ~1M crossover
+        cfg_auto = PipelineConfig(
+            n_buckets=64, rules=RULES, write_mode="delta", fp_index="auto"
+        )
         base = SnapshotTable.create(os.path.join(tmp, "base"), n_buckets=64)
         for e in range(BUILD_EPOCHS):
             apply_changes(
                 spark, feed(spark, e, build_rows // BUILD_EPOCHS), base, e, cfg_off
             )
         off_path, on_path = os.path.join(tmp, "off"), os.path.join(tmp, "on")
+        auto_path = os.path.join(tmp, "auto")
         shutil.copytree(base.path, off_path)
         shutil.copytree(base.path, on_path)
+        shutil.copytree(base.path, auto_path)
         t0 = time.time()
         FpBloomIndex(on_path).rebuild(spark, SnapshotTable(on_path))
         rebuild_wall = round(time.time() - t0, 3)
 
-        walls: dict[str, list[float]] = {"off": [], "on": []}
+        walls: dict[str, list[float]] = {"off": [], "on": [], "auto": []}
         tables = {"off": (SnapshotTable(off_path), cfg_off),
-                  "on": (SnapshotTable(on_path), cfg_on)}
+                  "on": (SnapshotTable(on_path), cfg_on),
+                  "auto": (SnapshotTable(auto_path), cfg_auto)}
         tag = 1000  # far above build tags: all-new content
         for trial in range(trials):
-            for mode in ("off", "on"):
+            for mode in ("off", "on", "auto"):
                 t, cfg = tables[mode]
                 df = feed(spark, tag, probe_rows)
                 t0 = time.time()
@@ -101,7 +109,9 @@ def main():
                 tag += 1
         n_off = SnapshotTable(off_path).read(spark).count()
         n_on = SnapshotTable(on_path).read(spark).count()
-        assert n_off == n_on, (n_off, n_on)
+        n_auto = SnapshotTable(auto_path).read(spark).count()
+        assert n_off == n_on == n_auto, (n_off, n_on, n_auto)
+        auto_enabled = FpBloomIndex(auto_path).enabled()
         print(
             json.dumps(
                 {
@@ -111,8 +121,14 @@ def main():
                     "trials": trials,
                     "off_walls": walls["off"],
                     "on_walls": walls["on"],
+                    # auto's FIRST wall includes the one-time bootstrap
+                    # rebuild when it flips on (table >= fp_auto_rows)
+                    "auto_walls": walls["auto"],
                     "off_best": min(walls["off"]),
                     "on_best": min(walls["on"]),
+                    "auto_best": min(walls["auto"]),
+                    "auto_enabled_index": auto_enabled,
+                    "auto_rows_threshold": cfg_auto.fp_auto_rows,
                     "index_rebuild_wall_sec": rebuild_wall,
                 }
             )
