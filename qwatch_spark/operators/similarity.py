@@ -561,13 +561,27 @@ def lsh_build_index(
         "n_planes int, n_bands int, dim int, seed int",
     )
     params.coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    _LSH_PARAMS_CACHE[path] = (n_planes, n_bands, dim, seed)
 
 
-def _lsh_index_params(spark, path: str):
+# _params is write-once per index build (appends never change it), so
+# probes cache it per path instead of paying a read job per query; a
+# same-process rebuild at the same path invalidates its entry.
+_LSH_PARAMS_CACHE: dict[str, tuple] = {}
+
+
+def _lsh_index_params(spark, path: str) -> tuple:
+    """(n_planes, n_bands, dim, seed) for the index at `path`."""
+    cached = _LSH_PARAMS_CACHE.get(path)
+    if cached is not None:
+        return cached
     rows = spark.read.parquet(f"{path}/_params").collect()
     if not rows:
         raise ValueError(f"LSH index at {path} has no _params")
-    return rows[0]
+    r = rows[0]
+    out = (int(r["n_planes"]), int(r["n_bands"]), int(r["dim"]), int(r["seed"]))
+    _LSH_PARAMS_CACHE[path] = out
+    return out
 
 
 def lsh_index_append(
@@ -580,15 +594,11 @@ def lsh_index_append(
     persisted `_params` hyperplanes and append them into their
     (band, bucket) directories — no rebuild, no touch of existing
     files, immediately probe-visible (mirrors ivf_index_append)."""
-    p = _lsh_index_params(new_vectors.sparkSession, path)
+    n_planes, n_bands, dim, seed = _lsh_index_params(
+        new_vectors.sparkSession, path
+    )
     bucketed = lsh_rand_buckets(
-        new_vectors,
-        int(p["n_planes"]),
-        int(p["n_bands"]),
-        int(p["dim"]),
-        int(p["seed"]),
-        id_col,
-        vec_col,
+        new_vectors, n_planes, n_bands, dim, seed, id_col, vec_col
     )
     (
         bucketed.repartition("band", "bucket")
@@ -596,6 +606,55 @@ def lsh_index_append(
         .partitionBy("band", "bucket")
         .parquet(path)
     )
+
+
+def _lsh_query_buckets(
+    n_planes: int, n_bands: int, dim: int, seed: int, query_vec
+) -> list[tuple[int, int]]:
+    """Driver-side replica of `lsh_rand_buckets` for ONE vector, exact
+    to the Column expressions — so probes pay zero Spark jobs for
+    hashing (the expression tree for 16 planes × 64 decimal products
+    costs seconds of per-query analysis/codegen when run as a 1-row
+    job; the same math in Python is microseconds). Exactness argument,
+    term by term against `_plane_dot` + `_dec_sum`:
+
+      - `x.cast("double") * c` — IEEE-754 double × small int; Python's
+        `float(x) * c` is the identical operation.
+      - `.cast(_DEC)` (decimal(30,15)) — Spark converts via
+        BigDecimal.valueOf(double), i.e. the SHORTEST decimal string
+        that round-trips to the double, then HALF_UP at 15 fractional
+        digits. Python's `repr(float)` produces the same shortest
+        round-trip string, so `Decimal(repr(p)).quantize(1e-15,
+        HALF_UP)` yields the same decimal value.
+      - `_dec_sum` accumulates in decimal(38,15): 15 fractional digits
+        are preserved at every step, so the sum is the exact sum of
+        the quantized products — as is Python's Decimal `+`.
+      - the sign test `>= 0` happens after a decimal→double cast,
+        which cannot flip a sign; comparing the exact Decimal sum is
+        therefore equivalent.
+
+    Bit-for-bit agreement with the Spark expressions over a full
+    corpus is pytest-pinned (test_similarity_dedup)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    coeffs = plane_coeffs(n_planes, dim, seed)
+    q15 = Decimal("1e-15")
+    bits = []
+    for prow in coeffs:
+        s = Decimal(0)
+        for x, c in zip(query_vec, prow):
+            s += Decimal(repr(float(x) * c)).quantize(
+                q15, rounding=ROUND_HALF_UP
+            )
+        bits.append(1 if s >= 0 else 0)
+    bpb = n_planes // n_bands
+    out = []
+    for b in range(n_bands):
+        bucket = 0
+        for j in range(bpb):
+            bucket |= bits[b * bpb + j] << (bpb - 1 - j)
+        out.append((b, bucket))
+    return out
 
 
 def lsh_probe_topk(
@@ -608,37 +667,29 @@ def lsh_probe_topk(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Query a built LSH index: hash the query with the SAME persisted
-    (n_planes, n_bands, dim, seed) hyperplanes — one tiny Spark job over
-    a single-row local relation, so the bucket math runs the exact
-    decimal-summed expressions the build used, never a float
-    re-derivation whose sign could flip at a near-zero projection —
-    then exact-cosine top-k over ONLY the n_bands (band, bucket)
-    directories the query collides with. The OR-of-pairs predicate
-    references only partition columns, so it lands in the scan's
-    PartitionFilters: the probe opens n_bands directories out of
-    n_bands × 2^bits (plan-asserted in tests). Candidates colliding in
-    several bands are deduplicated before scoring, so each is scored
-    once. Results are identical to `ann_topk_lsh` at the same
-    parameters (pytest-pinned)."""
-    p = _lsh_index_params(spark, path)
-    qdf = spark.createDataFrame(
-        [(0, [float(x) for x in query_vec])],
-        f"{id_col} bigint, {vec_col} array<double>",
-    )
-    qb = lsh_rand_buckets(
-        qdf,
-        int(p["n_planes"]),
-        int(p["n_bands"]),
-        int(p["dim"]),
-        int(p["seed"]),
-        id_col,
-        vec_col,
-    ).select("band", "bucket").collect()  # bounded: n_bands rows
-    pred = None
-    for r in qb:
-        c = (F.col("band") == int(r["band"])) & (
-            F.col("bucket") == int(r["bucket"])
+    (n_planes, n_bands, dim, seed) hyperplanes — driver-side, through
+    `_lsh_query_buckets`, an exact replica of the build's decimal
+    expressions (never a float64 re-derivation whose sign could flip at
+    a near-zero projection; see its docstring for the term-by-term
+    argument) — then exact-cosine top-k over ONLY the n_bands
+    (band, bucket) directories the query collides with. The
+    OR-of-pairs predicate references only partition columns, so it
+    lands in the scan's PartitionFilters: the probe opens n_bands
+    directories out of n_bands × 2^bits (plan-asserted in tests), and
+    the whole probe runs ONE Spark job. Candidates colliding in several
+    bands are deduplicated before scoring, so each is scored once.
+    Results are identical to `ann_topk_lsh` at the same parameters
+    (pytest-pinned)."""
+    n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has length {len(query_vec)}, but the index at "
+            f"{path} was built with dim={dim}"
         )
+    qb = _lsh_query_buckets(n_planes, n_bands, dim, seed, query_vec)
+    pred = None
+    for band, bucket in qb:
+        c = (F.col("band") == band) & (F.col("bucket") == bucket)
         pred = c if pred is None else pred | c
     idx = spark.read.parquet(path).filter(pred)
     if exclude_id is not None:

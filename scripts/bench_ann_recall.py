@@ -36,6 +36,8 @@ from qwatch_spark.operators.similarity import (  # noqa: E402
     ann_topk_lsh,
     ivf_build_index,
     ivf_probe_topk,
+    lsh_build_index,
+    lsh_probe_topk,
 )
 from qwatch_spark.session import get_spark  # noqa: E402
 
@@ -96,6 +98,18 @@ def main() -> None:
         out["systems"][label] = {"recall_at_10": r, "sec_per_query": qs}
 
     qvec = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+
+    # the materialized LSH serving index at the default (recall-best)
+    # parameters: recall is identical to lsh_16p_8b by construction
+    # (probe == ad-hoc, pytest-pinned) — this row MEASURES that the
+    # partition-pruned probe buys the ~12x cost drop without losing it
+    path = tempfile.mkdtemp(prefix="ann_recall_lsh_")
+    lsh_build_index(emb, path, n_planes=16, n_bands=8)
+    r, qs = recall(
+        lambda q: lsh_probe_topk(spark, path, qvec[q], k=K, exclude_id=q)
+    )
+    out["systems"]["lsh_16p_8b_indexed"] = {"recall_at_10": r, "sec_per_query": qs}
+    shutil.rmtree(path, ignore_errors=True)
     for n_cells, n_probe, lloyd in [
         (8, 2, 0),
         (8, 2, 5),

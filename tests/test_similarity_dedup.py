@@ -479,13 +479,21 @@ def test_lsh_index_append_is_probe_visible(spark, emb, tmp_path):
 
 
 def test_lsh_probe_missing_params_raises(spark, emb, tmp_path):
+    """An index whose _params snapshot is gone must fail loudly in a
+    process that never built it (cache cleared = fresh-process view);
+    hashing with guessed parameters would silently break recall."""
     import shutil
 
-    from qwatch_spark.operators.similarity import lsh_build_index, lsh_probe_topk
+    from qwatch_spark.operators.similarity import (
+        _LSH_PARAMS_CACHE,
+        lsh_build_index,
+        lsh_probe_topk,
+    )
 
     path = str(tmp_path / "lsh")
     lsh_build_index(emb, path)
     shutil.rmtree(f"{path}/_params")
+    _LSH_PARAMS_CACHE.pop(path, None)  # simulate a fresh process
     with pytest.raises(Exception):
         lsh_probe_topk(spark, path, [0.0] * 64, k=5)
 
@@ -499,3 +507,21 @@ def test_lsh_probe_wrong_dim_raises(spark, emb, tmp_path):
     lsh_build_index(emb, path)
     with pytest.raises(ValueError, match="length"):
         lsh_probe_topk(spark, path, [0.5] * 10, k=5).collect()
+
+
+def test_lsh_driver_bucket_hash_matches_spark(spark, emb):
+    """The probe's driver-side decimal hash (_lsh_query_buckets) must
+    agree BIT-FOR-BIT with the lsh_rand_buckets Column expressions over
+    the entire corpus — this equality is what lets lsh_probe_topk skip
+    the per-query Spark hashing job without risking a sign flip at a
+    near-zero projection."""
+    from qwatch_spark.operators.similarity import _lsh_query_buckets
+
+    want: dict[int, list[tuple[int, int]]] = {}
+    for r in lsh_rand_buckets(emb, 16, 8).collect():
+        want.setdefault(int(r["vec_id"]), []).append(
+            (int(r["band"]), int(r["bucket"]))
+        )
+    for r in emb.collect():
+        got = _lsh_query_buckets(16, 8, 64, 7, list(r["embedding"]))
+        assert sorted(want[int(r["vec_id"])]) == got, r["vec_id"]
