@@ -75,14 +75,26 @@ def _maybe_append_fp_segment(
     so a run with fp_index=False against a table whose index an earlier
     run enabled MUST still append — otherwise the epoch's fingerprints
     would be committed without segments and later duplicates of them
-    would bloom-miss straight past the gate."""
+    would bloom-miss straight past the gate.
+
+    `requested()` (auto-mode enablement awaiting its maintenance-run
+    bootstrap) also triggers the append: epochs committed inside the
+    request window must write segments, because the bootstrap's
+    live-row read snapshot may PRECEDE their commit — without these
+    segments their fingerprints would be absent from the finished
+    index and later duplicates would pass the gate. The rebuild's
+    segment-deletion rule keys off the SAME manifest snapshot as its
+    live-row read, so a request-window segment is only folded away
+    when its epoch's rows are provably inside that read — otherwise
+    (epoch committed after the snapshot) it survives; either way the
+    finished index is a superset of live fingerprints."""
     from qwatch_spark.operators.rules import FP_COL
     from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
     if FP_COL not in written.columns:
         return
     idx = FpBloomIndex(table.path)
-    if not idx.enabled():
+    if not (idx.enabled() or idx.requested()):
         return
     fps = written.filter(F.col(FP_COL).isNotNull()).select(FP_COL)
     idx.append_segment(fps, FP_COL, epoch_id, n_events)
@@ -183,18 +195,31 @@ def apply_changes(
         if cfg.fp_index:  # True or "auto"
             from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
-            if not FpBloomIndex(table.path).enabled() and (
-                cfg.fp_index is True or table.rows_est >= cfg.fp_auto_rows
-            ):
-                # one-time enablement (new table: trivial; existing
-                # table: one narrow live-rows scan) — after this the
-                # gate's cross-epoch check is O(batch) per epoch.
-                # "auto" waits for the manifest's live-row upper bound
-                # to cross the measured ~1M-row crossover so small
-                # tables never pay the index's fixed per-epoch cost;
-                # the estimate over-counts (updates tallied as inserts)
-                # so auto can only flip EARLY, the safe side.
-                FpBloomIndex(table.path).rebuild(spark, table)
+            idx = FpBloomIndex(table.path)
+            if not idx.enabled():
+                if cfg.fp_index is True:
+                    # explicit opt-in: bootstrap inline. Trivial on a
+                    # new table; on an existing table the caller chose
+                    # to pay the one narrow live-rows scan now rather
+                    # than wait a maintenance cycle.
+                    idx.rebuild(spark, table)
+                elif table.rows_est >= cfg.fp_auto_rows:
+                    # "auto" flips once the manifest's live-row upper
+                    # bound crosses the measured ~1M-row crossover, so
+                    # small tables never pay the index's fixed
+                    # per-epoch cost; the estimate over-counts (updates
+                    # tallied as inserts) so auto can only flip EARLY,
+                    # the safe side. The O(table) bootstrap rebuild is
+                    # NOT paid here — at 10^10 rows it would stall the
+                    # flipping epoch for hours. Apply only marks the
+                    # request; `maintain_once` runs the rebuild at
+                    # maintenance cadence, and this epoch (plus every
+                    # epoch until then) keeps the full-scan gate while
+                    # already appending its own segment (see
+                    # _maybe_append_fp_segment) so the request window
+                    # is covered regardless of the bootstrap's read
+                    # snapshot.
+                    idx.request_enable()
 
     payload_cols = [f.name for f in evolved_payload.fields]
     envelope = ["op", "seq"]

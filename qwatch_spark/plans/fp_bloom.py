@@ -63,6 +63,7 @@ import pandas as pd
 
 BLOOM_DIR = "_fp_bloom"
 META_FILE = "_meta.json"
+REQUEST_FILE = "_enable_requested"
 K_HASHES = 5
 BITS_PER_KEY = 16  # m = 16n, k = 5 → ~0.1% false-positive rate
 _MIN_LOG2M = 13  # 1 KiB floor keeps tiny-epoch segments trivial
@@ -166,6 +167,29 @@ class FpBloomIndex:
 
     def enabled(self) -> bool:
         return os.path.exists(os.path.join(self.dir, META_FILE))
+
+    def requested(self) -> bool:
+        """Enablement has been requested (fp_index="auto" crossed its
+        row threshold) but the one-time bootstrap rebuild hasn't run
+        yet — maintenance performs it; see `request_enable`."""
+        return os.path.exists(os.path.join(self.dir, REQUEST_FILE))
+
+    def request_enable(self) -> None:
+        """Mark the index for enablement WITHOUT paying the O(table)
+        bootstrap: the apply path touches this marker when
+        fp_index="auto" crosses fp_auto_rows, and `maintain_once`
+        performs the rebuild at maintenance cadence as the concurrent
+        CAS-safe writer it already is. Until then the gate keeps the
+        full-scan path (enabled() stays False), while appliers DO start
+        writing per-epoch segments (`requested()` gates the append) so
+        epochs committed during the request window are covered even if
+        the bootstrap's live-row snapshot predates them — double
+        coverage is a harmless superset."""
+        os.makedirs(self.dir, exist_ok=True)
+        marker = os.path.join(self.dir, REQUEST_FILE)
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write(str(time.time()))
 
     def segment_paths(self) -> list[str]:
         if not os.path.isdir(self.dir):
@@ -351,6 +375,10 @@ class FpBloomIndex:
                     os.unlink(p)  # superseded consolidation
                 except OSError:
                     pass
+        try:  # the bootstrap this marker requested has now run
+            os.unlink(os.path.join(self.dir, REQUEST_FILE))
+        except OSError:
+            pass
         return path
 
     # ---------- the gate-side probe ----------

@@ -54,17 +54,35 @@ def maintain_once(
         # matching — unrelated RuntimeErrors must surface
         out["lost_race"] = True
         table = SnapshotTable(table_path)  # rebase before vacuum
+    try:
+        # legacy-table migration: manifests from before rows_est carry
+        # no estimate (reads 0, so fp_index="auto" would never flip);
+        # the one-time live count belongs here, not on the apply path
+        seeded = table.seed_rows_est(spark)
+        if seeded is not None:
+            out["rows_est_seeded"] = seeded
+    except CommitConflictError:
+        out["lost_race"] = True
+        table = SnapshotTable(table_path)
     if vacuum_enabled:
         out["vacuumed"] = len(table.vacuum(retention_s=retention_s))
     from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
     idx = FpBloomIndex(table_path)
-    if idx.enabled():
+    if idx.enabled() or idx.requested():
         # consolidate per-epoch bloom segments and shed dead
         # fingerprints; the one O(live rows) scan the fingerprint gate
-        # still needs runs HERE, at maintenance cadence, not per epoch
+        # still needs runs HERE, at maintenance cadence, not per epoch.
+        # `requested()` is fp_index="auto"'s deferred bootstrap: the
+        # apply path only marks the request when rows_est crosses the
+        # threshold (never paying the O(table) scan inside an epoch);
+        # this rebuild writes the meta file that flips the gate from
+        # full-scan to bloom-probe and clears the marker.
+        bootstrapped = not idx.enabled()
         idx.rebuild(spark, SnapshotTable(table_path))
         out["fp_index_rebuilt"] = True
+        if bootstrapped:
+            out["fp_index_bootstrapped"] = True
     return out
 
 

@@ -340,10 +340,40 @@ class SnapshotTable:
         verify drive: 1421 est vs 1440 live with 10% deletes), and
         updates cannot be told from inserts without the table lookup the
         delta path avoids. Every live row has at least one committed
-        non-delete upsert, so est >= live always. Consumers
+        non-delete upsert, so est >= live always — EXCEPT on a table
+        committed before this key existed, where the absent key reads 0
+        (far BELOW live) until `seed_rows_est` (run by maintain_once)
+        migrates it from a one-time live-row count; until then
+        fp_index="auto" simply stays on the correct full-scan gate
+        (perf-only lag, never a correctness hazard). Consumers
         (fp_index="auto") use it as a crossed-threshold trigger, where
         over-counting merely flips the switch early — the safe side."""
         return int(self._manifest.get("rows_est", 0))
+
+    def seed_rows_est(self, spark: SparkSession) -> int | None:
+        """One-time migration for tables committed before `rows_est`
+        existed: count live rows (narrow key-only scan) and commit the
+        seed as a metadata-only manifest swap through the table's
+        normal commit protocol (CAS-safe beside a live applier; a lost
+        race just retries next maintenance cycle). Returns the seeded
+        count, or None if the manifest already carries the key — the
+        apply path never calls this, so it never pays the O(table)
+        scan. Post-seed the upper-bound invariant holds: future deletes
+        are never subtracted and updates tally as inserts."""
+        if "rows_est" in self._manifest:
+            return None
+        n = int(
+            self.read_buckets(spark, include_deleted=False, columns=[]).count()
+        )
+        manifest = dict(self._manifest)
+        manifest["version"] = self.version + 1
+        manifest["rows_est"] = n
+        self._write_manifest(
+            self.path, manifest,
+            expected_mutation=self._manifest.get("mutation", 0),
+        )
+        self._manifest = manifest
+        return n
 
     @staticmethod
     def _bump_rows_est(manifest: dict, rows_delta: int) -> None:

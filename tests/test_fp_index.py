@@ -468,7 +468,10 @@ def test_fp_auto_enables_past_row_threshold(spark, tmp_path, write_mode):
     )  # est was 2 (<3) at apply time; now 4
     assert not FpBloomIndex(t.path).enabled()
     assert t.rows_est == 4
-    # next apply sees est 4 >= 3: one-time rebuild covers ALL history
+    # next apply sees est 4 >= 3: it REQUESTS enablement (marker file)
+    # but never pays the O(table) bootstrap inline — the epoch itself
+    # still gates through the full-scan path and appends its own
+    # segment for the request window
     apply(
         spark,
         t,
@@ -476,7 +479,17 @@ def test_fp_auto_enables_past_row_threshold(spark, tmp_path, write_mode):
         2,
         c,
     )
-    assert FpBloomIndex(t.path).enabled(), "auto never flipped"
+    idx = FpBloomIndex(t.path)
+    assert not idx.enabled(), "apply paid the bootstrap inline"
+    assert idx.requested(), "auto never requested enablement"
+    assert idx.segment_paths(), "request-window epoch skipped its segment"
+    # maintenance performs the deferred bootstrap
+    from qwatch_spark.plans.maintenance import maintain_once
+
+    res = maintain_once(spark, t.path, vacuum_enabled=False)
+    assert res.get("fp_index_bootstrapped") is True
+    assert FpBloomIndex(t.path).enabled(), "maintenance never flipped"
+    assert not FpBloomIndex(t.path).requested(), "marker not cleared"
     # gate correctness through the auto-enabled index, incl. pre-enable
     # history (the rebuild) and post-enable appends
     apply(
@@ -512,3 +525,100 @@ def test_rows_est_is_a_strict_upper_bound(spark, tmp_path):
     assert t.rows_est == 2
     live = t.read(spark).count()
     assert t.rows_est >= live
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_fp_auto_never_rebuilds_on_apply_path(spark, tmp_path, write_mode,
+                                              monkeypatch):
+    """With fp_index='auto' NO apply epoch may run the O(table)
+    bootstrap rebuild inline (at 10^10 rows it would stall the flipping
+    epoch for hours) — and the request-window epochs must still gate
+    duplicates correctly through the full-scan path."""
+    c = PipelineConfig(
+        n_buckets=4, rules=RULES, fp_index="auto", fp_auto_rows=2,
+        write_mode=write_mode,
+    )
+
+    def boom(self, *a, **kw):
+        raise AssertionError("rebuild() ran inside an apply epoch")
+
+    monkeypatch.setattr(FpBloomIndex, "rebuild", boom)
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)  # 2 rows: est crosses on next epoch
+    # request-window epoch: crosses the threshold AND carries a
+    # cross-epoch duplicate — the full-scan gate must still catch it
+    apply(spark, t, EPOCHS[1], 1, c)
+    idx = FpBloomIndex(t.path)
+    assert idx.requested() and not idx.enabled()
+    urls = sorted(r["url"] for r in t.read(spark).collect())
+    assert "https://a.ex/dup" not in urls, (
+        "request-window duplicate passed the gate"
+    )
+    assert "https://a.ex/3" in urls
+    # a second request-window epoch with a dup of REQUEST-WINDOW content
+    # (epoch 1's PAGE_C) — covered by epoch 1's own segment after the
+    # bootstrap, but right now by the full scan
+    apply(
+        spark, t,
+        [(60, "I", "https://a.ex/dupC", TS(6), PAGE_C, "en", "s")],
+        2, c,
+    )
+    assert "https://a.ex/dupC" not in {
+        r["url"] for r in t.read(spark).collect()
+    }
+    monkeypatch.undo()
+    # deferred bootstrap covers pre-request history AND request-window
+    # epochs; post-enable a dup of either must bloom-hit and be rejected
+    from qwatch_spark.plans.maintenance import maintain_once
+
+    res = maintain_once(spark, t.path, vacuum_enabled=False)
+    assert res.get("fp_index_bootstrapped") is True
+    assert FpBloomIndex(t.path).enabled()
+    apply(
+        spark, t,
+        [
+            (70, "I", "https://a.ex/dupA", TS(7), PAGE_A, "en", "s"),
+            (71, "I", "https://a.ex/dupC3", TS(7), PAGE_C, "en", "s"),
+        ],
+        3, c,
+    )
+    urls = {r["url"] for r in t.read(spark).collect()}
+    assert "https://a.ex/dupA" not in urls
+    assert "https://a.ex/dupC3" not in urls
+
+
+def test_rows_est_seeded_on_legacy_manifest(spark, tmp_path):
+    """A table committed before rows_est existed reads 0 (auto never
+    flips) until maintenance seeds the estimate from a one-time live
+    count — the documented legacy migration."""
+    import json
+
+    c = cfg(False, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, EPOCHS[0], 0, c)
+    apply(spark, t, EPOCHS[2], 1, c)  # tombstone one of the two rows
+    # simulate a legacy manifest: strip the key (direct file surgery —
+    # this is exactly the on-disk state an old table presents)
+    man_path = os.path.join(t.path, "manifest.json")
+    with open(man_path) as fh:
+        man = json.load(fh)
+    assert man.pop("rows_est", None) is not None
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+    legacy = SnapshotTable(t.path)
+    assert legacy.rows_est == 0  # the under-count ADVICE flagged
+    from qwatch_spark.plans.maintenance import maintain_once
+
+    res = maintain_once(spark, t.path, vacuum_enabled=False)
+    live = SnapshotTable(t.path).read(spark).count()
+    assert res.get("rows_est_seeded") == live == 1
+    reloaded = SnapshotTable(t.path)
+    assert reloaded.rows_est == live
+    # idempotent: second cycle is a no-op
+    res2 = maintain_once(spark, t.path, vacuum_enabled=False)
+    assert "rows_est_seeded" not in res2
+    # invariant restored: est >= live from here on (reload: the seed
+    # commit advanced the mutation counter past our stale handle)
+    t2 = SnapshotTable(t.path)
+    apply(spark, t2, EPOCHS[1], 2, c)
+    assert t2.rows_est >= t2.read(spark).count()
