@@ -142,10 +142,35 @@ def _lsh_probe(spark, sf_dir):
     )
 
 
+def _lsh_probe_batch(spark, sf_dir, n_queries: int = 32):
+    """32 probes as ONE job (lsh_probe_topk_batch): the serving-path
+    amortization — the single probe's wall is dominated by per-query
+    plan analysis/codegen on fresh literals, the batch compiles once.
+    Wall here ÷ 32 is the amortized per-query cost; results are
+    pytest-pinned identical to 32 single probes."""
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.similarity import lsh_probe_topk_batch
+
+    _lsh_probe(spark, sf_dir)  # reuse the built index + its warmup
+    if not hasattr(_lsh_probe_batch, "queries"):
+        emb = q.ld(spark, sf_dir, "embeddings")
+        rows = emb.filter(F.col("vec_id") < n_queries).collect()
+        _lsh_probe_batch.queries = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows
+        ]
+    return lsh_probe_topk_batch(
+        spark, _lsh_probe.path, _lsh_probe_batch.queries, k=10,
+        exclude_query_id=True,
+    )
+
+
 EXTRA_BENCH = {
     "near_dup_refine_500docs": _near_dup_bounded,
     "ivf_probe_partition_pruned": _ivf_probe,
     "lsh_probe_partition_pruned": _lsh_probe,
+    "lsh_probe_batch32": _lsh_probe_batch,
 }
 
 # Entries whose operator runs ACTIONS inside the call (iterative

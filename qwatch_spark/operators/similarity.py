@@ -27,6 +27,7 @@ functions) — JVM-side, no UDFs.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -476,6 +477,39 @@ def ivf_build_index(
     seed_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
 
 
+def ivf_params_for(
+    n_vectors: int, target_recall: float = 0.9
+) -> tuple[int, int, int]:
+    """(n_cells, n_probe, lloyd_iters) sized to deliver ≥ `target_recall`
+    recall@k — the recall-targeted parameter rule as code, not prose.
+
+    Calibration model: with n_cells ≈ √n (the classic IVF cell rule —
+    cells stay √n-sized so a probe is O(√n) rows), expected recall on
+    the WORST-case corpus (unclustered/uniform, like the test fixture's
+    near-random embeddings — measured in scripts/bench_ann_recall.py:
+    8 cells / 4 probes ≈ 0.76 ≈ 4/8 + margin) is approximately the
+    probed fraction n_probe/n_cells, because true neighbors spread
+    uniformly over cells. So the rule probes ceil(target · n_cells)
+    cells plus one safety cell. On clustered corpora (the realistic
+    case, where Lloyd concentrates neighbors into few cells) the same
+    parameters OVER-deliver — the rule errs on the recall side, and a
+    caller who measures better-than-target recall can lower n_probe.
+    Lloyd refinement is always on (5 iterations): it is a no-op on
+    uniform data (measured) and is what creates the cell structure
+    that lets clustered corpora beat the uniform bound.
+
+    The honest consequence of a high target on unclustered data —
+    probing ~all cells ≈ brute force — is visible in the study's
+    measured latency column rather than hidden behind a recall miss."""
+    import math
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    n_cells = max(1, int(round(math.sqrt(max(1, n_vectors)))))
+    n_probe = min(n_cells, math.ceil(target_recall * n_cells) + 1)
+    return n_cells, n_probe, 5
+
+
 def ivf_probe_topk(
     spark,
     path: str,
@@ -561,26 +595,40 @@ def lsh_build_index(
         "n_planes int, n_bands int, dim int, seed int",
     )
     params.coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
-    _LSH_PARAMS_CACHE[path] = (n_planes, n_bands, dim, seed)
+    _LSH_PARAMS_CACHE[path] = (_params_stamp(path), (n_planes, n_bands, dim, seed))
 
 
 # _params is write-once per index build (appends never change it), so
-# probes cache it per path instead of paying a read job per query; a
-# same-process rebuild at the same path invalidates its entry.
-_LSH_PARAMS_CACHE: dict[str, tuple] = {}
+# probes cache it per path instead of paying a read job per query. The
+# entry is validated against the _params directory's mtime stamp before
+# every use: a rebuild at the same path by ANOTHER process (or a reused
+# path) rewrites the directory and bumps the stamp, so a stale cache
+# can never hash with dead hyperplane params — the silent-recall-loss
+# mode the module docstrings warn about. Remote paths (no os.stat)
+# stamp as -1 and fall back to trusting a present entry: there the
+# single-driver-ownership assumption of lsh_build_index applies.
+_LSH_PARAMS_CACHE: dict[str, tuple[int, tuple]] = {}
+
+
+def _params_stamp(path: str) -> int:
+    try:
+        return os.stat(os.path.join(path, "_params")).st_mtime_ns
+    except OSError:  # remote URI or params not yet written
+        return -1
 
 
 def _lsh_index_params(spark, path: str) -> tuple:
     """(n_planes, n_bands, dim, seed) for the index at `path`."""
+    stamp = _params_stamp(path)
     cached = _LSH_PARAMS_CACHE.get(path)
-    if cached is not None:
-        return cached
+    if cached is not None and (stamp == -1 or cached[0] == stamp):
+        return cached[1]
     rows = spark.read.parquet(f"{path}/_params").collect()
     if not rows:
         raise ValueError(f"LSH index at {path} has no _params")
     r = rows[0]
     out = (int(r["n_planes"]), int(r["n_bands"]), int(r["dim"]), int(r["seed"]))
-    _LSH_PARAMS_CACHE[path] = out
+    _LSH_PARAMS_CACHE[path] = (stamp, out)
     return out
 
 
@@ -700,6 +748,91 @@ def lsh_probe_topk(
         F.col(id_col), cosine_sim(F.col(vec_col), qarr).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def lsh_probe_topk_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_id: bool = False,
+) -> DataFrame:
+    """Serve MANY probes as ONE Spark job — the amortized form of
+    `lsh_probe_topk`, whose per-query floor is not I/O but plan
+    analysis/codegen on each query's fresh literals (~1 s/query
+    measured). Here the query set becomes a broadcast DataFrame, so
+    the plan is compiled once for any batch size:
+
+      - every query is hashed driver-side with the persisted params
+        (`_lsh_query_buckets`, exact-decimal replica — microseconds);
+      - ONE scan reads the union of all queries' (band, bucket)
+        directories, pruned via a per-band `bucket IN (...)` predicate
+        over partition columns only (lands in PartitionFilters, same
+        guarantee the single probe plan-asserts);
+      - a broadcast join on (band, bucket) fans candidates out to
+        their queries, (query, candidate) pairs colliding in several
+        bands are deduplicated, and cosine runs COLUMN-vs-COLUMN
+        (embedding × qvec) — no per-query literal arrays anywhere;
+      - per-query top-k via row_number over (desc cosine, id) — the
+        same deterministic order the single probe sorts by, so results
+        are row-identical to running `lsh_probe_topk` per query
+        (pytest-pinned).
+
+    `queries` is [(query_id, vector), ...]; returns (query_id, id_col,
+    cosine). With `exclude_query_id`, a candidate whose id equals its
+    query's id is dropped — the batch form of `exclude_id=qid` self-
+    exclusion. The broadcast join keys the scan rows against ALL
+    queries' buckets, so a band's IN-list over-reads only rows another
+    query legitimately needs; cross-query false candidates cannot
+    appear because the join re-checks the exact (band, bucket) pair."""
+    n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
+    rows = []
+    for qid, vec in queries:
+        if len(vec) != dim:
+            raise ValueError(
+                f"query {qid} has length {len(vec)}, but the index at "
+                f"{path} was built with dim={dim}"
+            )
+        qv = [float(x) for x in vec]
+        for band, bucket in _lsh_query_buckets(
+            n_planes, n_bands, dim, seed, qv
+        ):
+            rows.append((int(qid), band, bucket, qv))
+    qdf = spark.createDataFrame(
+        rows, "query_id long, band int, bucket int, qvec array<double>"
+    )
+    by_band: dict[int, set[int]] = {}
+    for _qid, band, bucket, _qv in rows:
+        by_band.setdefault(band, set()).add(bucket)
+    pred = None
+    for band in sorted(by_band):
+        c = (F.col("band") == band) & F.col("bucket").isin(
+            sorted(by_band[band])
+        )
+        pred = c if pred is None else pred | c
+    idx = spark.read.parquet(path).filter(pred)
+    cand = (
+        idx.select("band", "bucket", id_col, vec_col)
+        .join(F.broadcast(qdf), ["band", "bucket"])
+        .dropDuplicates(["query_id", id_col])
+    )
+    if exclude_query_id:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def cosine_near_dup_pairs(

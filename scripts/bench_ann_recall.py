@@ -35,9 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from qwatch_spark.operators.similarity import (  # noqa: E402
     ann_topk_lsh,
     ivf_build_index,
+    ivf_params_for,
     ivf_probe_topk,
     lsh_build_index,
     lsh_probe_topk,
+    lsh_probe_topk_batch,
 )
 from qwatch_spark.session import get_spark  # noqa: E402
 
@@ -109,6 +111,23 @@ def main() -> None:
         lambda q: lsh_probe_topk(spark, path, qvec[q], k=K, exclude_id=q)
     )
     out["systems"]["lsh_16p_8b_indexed"] = {"recall_at_10": r, "sec_per_query": qs}
+    # the batched serving path: ALL queries in one compiled job — same
+    # results as per-query probes (pytest-pinned), amortized latency
+    t0 = time.time()
+    got_rows = lsh_probe_topk_batch(
+        spark, path, [(q, qvec[q]) for q in queries], k=K,
+        exclude_query_id=True,
+    ).collect()
+    batch_wall = time.time() - t0
+    by_q: dict[int, set[int]] = {q: set() for q in queries}
+    for row in got_rows:
+        by_q[int(row["query_id"])].add(int(row["vec_id"]))
+    hits = sum(len(by_q[q] & truths[q]) for q in queries)
+    out["systems"]["lsh_16p_8b_batch"] = {
+        "recall_at_10": round(hits / (K * len(queries)), 3),
+        "sec_per_query": round(batch_wall / len(queries), 3),
+        "batch_size": len(queries),
+    }
     shutil.rmtree(path, ignore_errors=True)
     for n_cells, n_probe, lloyd in [
         (8, 2, 0),
@@ -127,6 +146,26 @@ def main() -> None:
         label = f"ivf_{n_cells}c_{n_probe}p" + (f"_lloyd{lloyd}" if lloyd else "")
         out["systems"][label] = {"recall_at_10": r, "sec_per_query": qs}
         shutil.rmtree(path, ignore_errors=True)
+
+    # the recall-targeted rule: ivf_params_for sizes (cells, probes,
+    # lloyd) for ≥0.9 on the worst case (this near-uniform fixture IS
+    # the worst case, so the measured row validates the rule's floor;
+    # the latency column shows the honest cost of 0.9 on unclustered
+    # data — near brute force)
+    n_cells, n_probe, lloyd = ivf_params_for(n, target_recall=0.9)
+    path = tempfile.mkdtemp(prefix="ann_recall_ivf_")
+    ivf_build_index(emb, path, n_cells=n_cells, lloyd_iters=lloyd)
+    r, qs = recall(
+        lambda q: ivf_probe_topk(
+            spark, path, qvec[q], k=K, n_probe=n_probe, exclude_id=q
+        )
+    )
+    out["systems"]["ivf_target090"] = {
+        "recall_at_10": r,
+        "sec_per_query": qs,
+        "params": {"n_cells": n_cells, "n_probe": n_probe, "lloyd": lloyd},
+    }
+    shutil.rmtree(path, ignore_errors=True)
 
     print(json.dumps(out))
     spark.stop()

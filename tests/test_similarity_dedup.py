@@ -525,3 +525,109 @@ def test_lsh_driver_bucket_hash_matches_spark(spark, emb):
     for r in emb.collect():
         got = _lsh_query_buckets(16, 8, 64, 7, list(r["embedding"]))
         assert sorted(want[int(r["vec_id"])]) == got, r["vec_id"]
+
+
+def test_lsh_batch_probe_matches_per_query_and_prunes(spark, emb, tmp_path):
+    """lsh_probe_topk_batch must return, per query, EXACTLY what
+    lsh_probe_topk returns for that query (same candidates, cosines,
+    tie-order), while reading one pruned union scan — the predicate
+    still lands in PartitionFilters."""
+    import re
+
+    from qwatch_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_topk,
+        lsh_probe_topk_batch,
+    )
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path, n_planes=16, n_bands=8)
+    qids = [0, 3, 7, 11, 19, 42]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    batch = lsh_probe_topk_batch(
+        spark, path, [(q, qvecs[q]) for q in qids], k=10,
+        exclude_query_id=True,
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "band" in m.group(1) and "bucket" in m.group(1), (
+        f"no partition filter on band/bucket:\n{plan}"
+    )
+    got: dict[int, list[tuple[int, object]]] = {q: [] for q in qids}
+    for r in batch.orderBy("query_id", F.desc("cosine"), "vec_id").collect():
+        got[int(r["query_id"])].append((int(r["vec_id"]), r["cosine"]))
+    for q in qids:
+        want = [
+            (int(r["vec_id"]), r["cosine"])
+            for r in lsh_probe_topk(
+                spark, path, qvecs[q], k=10, exclude_id=q
+            ).collect()
+        ]
+        assert got[q] == want, f"query {q} diverged from per-query probe"
+
+
+def test_lsh_batch_probe_wrong_dim_raises(spark, emb, tmp_path):
+    from qwatch_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_topk_batch,
+    )
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path)
+    with pytest.raises(ValueError, match="length"):
+        lsh_probe_topk_batch(spark, path, [(1, [0.5] * 10)], k=5)
+
+
+def test_lsh_params_cache_invalidated_by_external_rebuild(spark, emb, tmp_path):
+    """A rebuild at the same path with DIFFERENT params (as another
+    process — the cache entry is left in place) must not be probed with
+    the stale cached hyperplanes: _lsh_index_params revalidates against
+    the _params directory stamp."""
+    from qwatch_spark.operators.similarity import (
+        _lsh_index_params,
+        lsh_build_index,
+    )
+
+    path = str(tmp_path / "lsh")
+    lsh_build_index(emb, path, n_planes=16, n_bands=8, seed=7)
+    assert _lsh_index_params(spark, path) == (16, 8, 64, 7)
+    # out-of-process rebuild: different geometry, cache NOT popped
+    import time as _time
+
+    _time.sleep(0.05)  # ensure a distinguishable mtime stamp
+    lsh_build_index(emb, path, n_planes=8, n_bands=4, seed=11)
+    # simulate the other process having done the build: poison our
+    # process's entry back to the OLD params but keep the new stamp
+    # unknowable — i.e. restore the pre-build cache state
+    from qwatch_spark.operators import similarity as S
+
+    S._LSH_PARAMS_CACHE[path] = (1, (16, 8, 64, 7))  # stale stamp+params
+    assert _lsh_index_params(spark, path) == (8, 4, 64, 11), (
+        "stale cached params survived an external rebuild"
+    )
+
+
+def test_ivf_params_for_shape():
+    """The recall-targeted rule: √n cells, probe fraction ≥ target
+    (uniform worst-case calibration), Lloyd always on, and the helper
+    rejects nonsense targets."""
+    from qwatch_spark.operators.similarity import ivf_params_for
+
+    n_cells, n_probe, lloyd = ivf_params_for(2000, target_recall=0.9)
+    assert n_cells == 45  # round(sqrt(2000))
+    assert n_probe / n_cells >= 0.9
+    assert n_probe <= n_cells
+    assert lloyd > 0
+    # monotone: a higher target never probes fewer cells
+    lo = ivf_params_for(10_000, 0.5)[1]
+    hi = ivf_params_for(10_000, 0.95)[1]
+    assert hi >= lo
+    # degenerate corpora stay valid
+    assert ivf_params_for(1, 0.9) == (1, 1, 5)
+    with pytest.raises(ValueError):
+        ivf_params_for(1000, 0.0)
+    with pytest.raises(ValueError):
+        ivf_params_for(1000, 1.5)
