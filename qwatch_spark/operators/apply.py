@@ -60,9 +60,10 @@ class ApplyStats:
 def _maybe_append_fp_segment(
     table: SnapshotTable,
     cfg: PipelineConfig,
-    written: DataFrame,
+    written_fn,
     epoch_id: int,
     n_events: int,
+    has_fp: bool,
 ) -> None:
     """Append this epoch's fingerprints to the bloom side index, from the
     just-written (page-cached) epoch files. Runs BEFORE the manifest
@@ -91,12 +92,15 @@ def _maybe_append_fp_segment(
     from qwatch_spark.operators.rules import FP_COL
     from qwatch_spark.plans.fp_bloom import FpBloomIndex
 
-    if FP_COL not in written.columns:
+    if not has_fp:
         return
     idx = FpBloomIndex(table.path)
     if not (idx.enabled() or idx.requested()):
         return
-    fps = written.filter(F.col(FP_COL).isNotNull()).select(FP_COL)
+    # `written_fn` is lazy: constructing the DataFrame (a file listing
+    # + footer schema read per call) only happens on the rare enabled
+    # path — gated tables skip it entirely
+    fps = written_fn().filter(F.col(FP_COL).isNotNull()).select(FP_COL)
     idx.append_segment(fps, FP_COL, epoch_id, n_events)
     # bound probe cost between maintenance rebuilds: OR-fold committed
     # same-size segments once they pile up — pure numpy over the filter
@@ -107,6 +111,98 @@ def _maybe_append_fp_segment(
         [man.get("epoch_watermark", -1), *man.get("applied_epochs", [-1])]
     )
     idx.merge_small_segments(committed, max_files=cfg.fp_merge_segments)
+
+
+def _delta_footer_stats(out: str, touched: list[int]) -> dict | None:
+    """Per-bucket commit stats from parquet FOOTERS alone — the zero-job
+    replacement for the per-epoch aggregate scan of the just-written
+    delta files. Per bucket: row count (metadata), delete count (the
+    `_del` marker's null_count: deletes are 1, upserts null), seq
+    min/max and warc_ts range (chunk statistics). Returns
+    {b: {n, nd, min_seq, max_seq, lo, hi}} or None when any required
+    statistic is absent (INT96 timestamps, stats disabled, a writer
+    that predates `_del`) — the caller then falls back to the Spark
+    aggregate job, so correctness NEVER depends on footers.
+
+    Scale shape: O(touched files) metadata reads on the driver — the
+    same order of work the manifest commit itself does, and exactly how
+    lake formats (Delta/Iceberg) collect per-file stats at commit time.
+    The Spark job it replaces cost a scheduler round-trip per table per
+    epoch, which under concurrent multi-table applies queued behind
+    other tables' write jobs (measured: 2.4 s of a 5.5 s entity-stream
+    wall was this job × 6 table-epochs)."""
+    import datetime as dt
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    def norm_ts(v):
+        if isinstance(v, dt.datetime):
+            if v.tzinfo is not None:  # session TZ is UTC everywhere
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v
+        return None
+
+    res: dict[int, dict] = {}
+    for b in touched:
+        files = _glob.glob(os.path.join(out, f"b={b}", "*.parquet"))
+        if not files:
+            return None
+        n = nd = 0
+        seq_lo: list = []
+        seq_hi: list = []
+        ts_lo: list = []
+        ts_hi: list = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                cols = {
+                    rgm.column(i).path_in_schema: rgm.column(i)
+                    for i in range(rgm.num_columns)
+                }
+                seq_c, del_c, ts_c = (
+                    cols.get("seq"), cols.get("_del"), cols.get("warc_ts")
+                )
+                if seq_c is None or del_c is None or ts_c is None:
+                    return None
+                seq_st, del_st, ts_st = (
+                    seq_c.statistics, del_c.statistics, ts_c.statistics
+                )
+                if (
+                    seq_st is None
+                    or not seq_st.has_min_max
+                    or del_st is None
+                    or not del_st.has_null_count
+                ):
+                    return None
+                n += rgm.num_rows
+                nd += rgm.num_rows - del_st.null_count
+                seq_lo.append(seq_st.min)
+                seq_hi.append(seq_st.max)
+                if ts_st is not None and ts_st.has_min_max:
+                    lo, hi = norm_ts(ts_st.min), norm_ts(ts_st.max)
+                    if lo is None or hi is None:
+                        return None  # non-datetime stats (INT96 etc.)
+                    ts_lo.append(lo)
+                    ts_hi.append(hi)
+                elif (
+                    ts_st is not None
+                    and ts_st.has_null_count
+                    and ts_st.null_count == rgm.num_rows
+                ):
+                    pass  # all-null chunk: no range, same as F.min/F.max
+                else:
+                    return None
+        res[int(b)] = {
+            "n": n,
+            "nd": nd,
+            "min_seq": min(seq_lo),
+            "max_seq": max(seq_hi),
+            "lo": min(ts_lo) if ts_lo else None,
+            "hi": max(ts_hi) if ts_hi else None,
+        }
+    return res
 
 
 def merge_cdc(
@@ -262,6 +358,15 @@ def apply_changes(
                 (F.col("op") == "D").alias("is_deleted"),
                 F.when(F.col("op") == "D", "D").otherwise("U").alias("last_op"),
                 F.lit(int(epoch_id)).alias("last_epoch"),
+                # commit-stats marker: null for upserts, 1 for deletes —
+                # the parquet footer's per-chunk null_count then yields
+                # EXACT per-bucket delete counts with zero data read
+                # (_delta_footer_stats). ~1 bit/row on disk (RLE); every
+                # reader projects through an explicit schema, so the
+                # extra column is invisible outside this commit path.
+                F.when(F.col("op") == "D", F.lit(1))
+                .cast("tinyint")
+                .alias("_del"),
             ).withColumn("b", bucket_expr(table.n_buckets, key))
             # hash-shuffle on "b" only needs each bucket's rows in ONE
             # task (partitionBy still yields exactly one file per touched
@@ -291,30 +396,45 @@ def apply_changes(
                     int((time.time() - t0) * 1000),
                 )
             t = time.time()
-            # ONE narrow job over the just-written (page-cached) files
-            # serves three consumers: batch size, the per-bucket warc_ts
-            # zone map, AND the epoch's lineage metrics — every row in a
-            # delta dir carries last_epoch == this epoch, so the lineage
-            # scan the COW path needs is free here
-            per_b = (
-                spark.read.parquet(out)
-                .groupBy("b")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.min("warc_ts").alias("lo"),
-                    F.max("warc_ts").alias("hi"),
-                    F.count_if(F.col("last_op") == "U").alias("n_update"),
-                    F.count_if(F.col("last_op") == "D").alias("n_delete"),
-                    F.min("seq").alias("min_seq"),
-                    F.max("seq").alias("max_seq"),
+            # the batch/zone-map/lineage stats every commit needs come
+            # from the just-written files' FOOTERS — a driver-side
+            # metadata read, zero Spark jobs (under concurrent
+            # multi-table applies, a per-table stats job queued behind
+            # other tables' writes was the dominant commit cost). Falls
+            # back to ONE narrow aggregate job over the (page-cached)
+            # files when any required statistic is missing.
+            fstats = _delta_footer_stats(out, touched)
+            if fstats is None:
+                per_b = (
+                    spark.read.parquet(out)
+                    .groupBy("b")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min("warc_ts").alias("lo"),
+                        F.max("warc_ts").alias("hi"),
+                        F.count_if(F.col("last_op") == "D").alias("nd"),
+                        F.min("seq").alias("min_seq"),
+                        F.max("seq").alias("max_seq"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            n_events = sum(r["n"] for r in per_b)
+                fstats = {
+                    int(r["b"]): {
+                        "n": int(r["n"]),
+                        "nd": int(r["nd"]),
+                        "min_seq": r["min_seq"],
+                        "max_seq": r["max_seq"],
+                        "lo": r["lo"],
+                        "hi": r["hi"],
+                    }
+                    for r in per_b
+                }
+            n_events = sum(s["n"] for s in fstats.values())
+            n_deletes_total = sum(s["nd"] for s in fstats.values())
             zmaps = {
-                int(r["b"]): [_ziso(r["lo"]), _ziso(r["hi"])]
-                for r in per_b
-                if r["lo"] is not None
+                b: [_ziso(s["lo"]), _ziso(s["hi"])]
+                for b, s in fstats.items()
+                if s["lo"] is not None
             }
             # I-vs-U classification needs a table lookup, so delta lineage
             # records upserts as 'U' (deletes stay exact); the table's
@@ -324,22 +444,31 @@ def apply_changes(
             metrics_rows = [
                 {
                     "epoch_id": int(epoch_id),
-                    "bucket": int(r["b"]),
+                    "bucket": int(b),
                     "n_insert": 0,
-                    "n_update": int(r["n_update"]),
-                    "n_delete": int(r["n_delete"]),
-                    "min_seq": r["min_seq"],
-                    "max_seq": r["max_seq"],
+                    "n_update": int(s["n"] - s["nd"]),
+                    "n_delete": int(s["nd"]),
+                    "min_seq": s["min_seq"],
+                    "max_seq": s["max_seq"],
                 }
-                for r in per_b
+                for b, s in sorted(fstats.items())
             ]
+            phases["commit_stats"] = time.time() - t
+            t2 = time.time()
+            from qwatch_spark.operators.rules import FP_COL as _FPC
+
             _maybe_append_fp_segment(
-                table, cfg, spark.read.parquet(out), epoch_id, n_events
+                table, cfg, lambda: spark.read.parquet(out), epoch_id,
+                n_events,
+                has_fp=_FPC in {f.name for f in evolved_payload.fields},
             )
+            phases["commit_fp"] = time.time() - t2
+            t2 = time.time()
             table.commit_prewritten_delta(
                 touched, epoch_id, evolved_payload, new_version, vtoken, zmaps,
-                rows_delta=n_events - sum(int(r["n_delete"]) for r in per_b),
+                rows_delta=n_events - n_deletes_total,
             )
+            phases["commit_swap"] = time.time() - t2
             phases["commit"] = time.time() - t
         else:
             # COW path: stage the deduped batch to the lake instead of
@@ -382,7 +511,12 @@ def apply_changes(
             merged = merge_cdc(
                 current, updates.drop("_b"), epoch_id, payload_cols, key=key
             )
-            _maybe_append_fp_segment(table, cfg, updates, epoch_id, n_events)
+            from qwatch_spark.operators.rules import FP_COL as _FPC
+
+            _maybe_append_fp_segment(
+                table, cfg, lambda: updates, epoch_id, n_events,
+                has_fp=_FPC in updates.columns,
+            )
             table.commit_epoch(
                 merged, touched, epoch_id, evolved_payload, zmaps,
                 rows_delta=n_events - sum(int(r["nd"]) for r in bucket_stats),

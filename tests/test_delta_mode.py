@@ -207,3 +207,91 @@ def test_compaction_repairs_delta_lineage_to_match_cow(spark, tmp_path):
     assert "I" in set(got.values())  # inserts actually reconstructed
     # and the table STATE is still byte-identical to cow
     assert engine_state(spark, dt_) == engine_state(spark, cow)
+
+
+def test_footer_stats_match_spark_job(spark, tmp_path):
+    """The zero-job footer-stats commit path must produce EXACTLY the
+    stats the Spark aggregate it replaced would: per-bucket counts,
+    delete counts, seq ranges, warc_ts zone maps — and it must actually
+    be exercised under the engine session (TIMESTAMP_MICROS stats
+    present), not silently falling back."""
+    from qwatch_spark.operators.apply import _delta_footer_stats
+
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    batch = gen_feed_df(spark, 1500).drop("epoch_hint")
+    apply_changes(spark, batch, table, 0, cfg)
+    table = SnapshotTable(table.path)
+    # locate the committed delta dir (version 1's token)
+    tok = None
+    for _b, e in table._entries(None):
+        for d in e["deltas"]:
+            tok = d
+        if e["base"] is not None and tok is None:
+            tok = e["base"]
+    out = os.path.join(table.path, "data", f"v={tok}")
+    touched = sorted(
+        int(d[2:]) for d in os.listdir(out) if d.startswith("b=")
+    )
+    got = _delta_footer_stats(out, touched)
+    assert got is not None, "footer stats unavailable under engine session"
+    want = {
+        int(r["b"]): r
+        for r in spark.read.parquet(out)
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("last_op") == "D").alias("nd"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.min("warc_ts").alias("lo"),
+            F.max("warc_ts").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert any(s["nd"] > 0 for s in got.values()), "fixture has no deletes"
+    for b, s in got.items():
+        w = want[b]
+        assert (
+            s["n"], s["nd"], s["min_seq"], s["max_seq"], s["lo"], s["hi"]
+        ) == (
+            w["n"], w["nd"], w["min_seq"], w["max_seq"], w["lo"], w["hi"]
+        ), f"bucket {b}: footer {s} != job {dict(w.asDict())}"
+
+
+def test_footer_stats_fallback_commits_identically(spark, tmp_path, monkeypatch):
+    """When footer statistics are unavailable (INT96 history, stats
+    disabled), the commit must fall back to the Spark aggregate and
+    produce an identical table: state, metrics, and manifest zone maps."""
+    import qwatch_spark.operators.apply as A
+
+    feed = gen_feed_df(spark, N)
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    t_fast = SnapshotTable.create(str(tmp_path / "fast"), n_buckets=8)
+    replay_feed(spark, feed, t_fast, cfg)
+    monkeypatch.setattr(A, "_delta_footer_stats", lambda out, touched: None)
+    t_slow = SnapshotTable.create(str(tmp_path / "slow"), n_buckets=8)
+    replay_feed(spark, feed, t_slow, cfg)
+    t_fast, t_slow = SnapshotTable(t_fast.path), SnapshotTable(t_slow.path)
+    assert engine_state(spark, t_fast) == engine_state(spark, t_slow)
+    m_fast = sorted(
+        (r["epoch_id"], r["bucket"], r["n_update"], r["n_delete"],
+         r["min_seq"], r["max_seq"])
+        for r in t_fast.read_metrics(spark).collect()
+    )
+    m_slow = sorted(
+        (r["epoch_id"], r["bucket"], r["n_update"], r["n_delete"],
+         r["min_seq"], r["max_seq"])
+        for r in t_slow.read_metrics(spark).collect()
+    )
+    assert m_fast == m_slow
+    # version tokens carry a random nonce — compare zone maps keyed by
+    # the token's version-number prefix instead
+    def zmaps(t):
+        return {
+            b: {tok.split("-")[0]: rng for tok, rng in e["z"].items()}
+            for b, e in t._entries(None)
+        }
+
+    assert zmaps(t_fast) == zmaps(t_slow)
