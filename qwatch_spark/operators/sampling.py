@@ -118,7 +118,8 @@ def global_prefix_sum(
     to epoch seconds first). Skew caveat: ranges are equal-width in the
     order VALUE, so a dense hotspot in `order_col` concentrates rows —
     ideal for dense ids (doc_id), fine for epoch times, wrong for
-    zipfian keys (re-map those to a rank first)."""
+    zipfian keys (re-map those with `dense_rank_remap` first: one extra
+    count-balanced exchange, then the ranks are dense and safe here)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -133,27 +134,10 @@ def global_prefix_sum(
     with_pid = df.withColumn("_pid", pid)
     totals = sorted(
         with_pid.groupBy("_pid")
-        .agg(
-            F.sum(F.col(value_col).cast("long")).alias("_tot"),
-            F.count("*").alias("_n"),
-            F.countDistinct(order_col).alias("_nd"),
-        )
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_tot"))
         .collect(),
         key=lambda r: r["_pid"],
     )
-    # order_col must be UNIQUE: with ties the per-range window assigns
-    # tied rows arbitrary relative prefix sums run to run, breaking this
-    # module's determinism/oracle-reproducibility contract. Checked here
-    # because it rides the totals action (same scan, two extra agg
-    # columns) instead of costing its own pass over the data.
-    dupes = sum(int(r["_n"]) - int(r["_nd"]) for r in totals)
-    if dupes:
-        raise ValueError(
-            f"global_prefix_sum: order_col {order_col!r} has {dupes} "
-            "duplicate value(s); the global order (hence every prefix "
-            "sum) would be nondeterministic. Provide a unique order "
-            "column (e.g. a doc_id) or disambiguate ties upstream."
-        )
     offsets, running = [], 0
     for r in totals:
         offsets.append((int(r["_pid"]), running))
@@ -165,10 +149,97 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(F.col(value_col).cast("long")).over(w), F.lit(0))
+    # order_col must be UNIQUE: with ties the per-range window assigns
+    # tied rows arbitrary relative prefix sums run to run, breaking this
+    # module's determinism/oracle-reproducibility contract. The guard
+    # rides the window's OWN sort (a lag over the identical window spec
+    # — same exchange, same sort, zero extra jobs or shuffled bytes;
+    # the countDistinct it replaces re-shuffled one row per distinct
+    # order value, ~the whole dataset, through a second exchange) and
+    # fires at execution time: any duplicate is adjacent in sort order,
+    # so lag(order) == order catches every tie exactly.
+    prev = F.lag(F.col(order_col)).over(Window.partitionBy("_pid").orderBy(order_col))
+    tie = F.coalesce(prev == F.col(order_col), F.lit(False))
+    prefix = (local + F.col("_off")).cast("long")
+    guarded = F.when(~tie, prefix).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"global_prefix_sum: order_col {order_col!r} has a "
+                    "duplicate value ("
+                ),
+                F.col(order_col).cast("string"),
+                F.lit(
+                    "); the global order (hence every prefix sum) would "
+                    "be nondeterministic. Provide a unique order column "
+                    "(e.g. a doc_id) or disambiguate ties upstream."
+                ),
+            )
+        ).cast("long")
+    )
     return (
         with_pid.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (local + F.col("_off")).cast("long"))
+        .withColumn(out_col, guarded)
         .drop("_pid", "_off")
+    )
+
+
+def dense_rank_remap(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "order_rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Remap a UNIQUE but arbitrarily-distributed order key (zipfian
+    values, huge gaps, hotspots) to its dense global sort position
+    0..n-1 — the paved path for keys whose VALUE distribution defeats
+    `global_prefix_sum`'s fixed-width ranges (its documented caveat).
+    Feed the returned `out_col` to pack_sequences/global_prefix_sum as
+    the order column: ranks are dense integers, so fixed-width ranges
+    over them are perfectly balanced.
+
+    Plan shape: ONE extra data exchange (repartitionByRange, balanced
+    by ROW COUNT via sampling, exactly the skew case fixed-width
+    bucketing loses) + a partition-local sort; the rank itself is
+    monotonically_increasing_id's (partition, position) encoding plus
+    driver-folded per-partition offsets — no window, no second data
+    shuffle, never a single-partition sort. The ranked frame is pinned
+    with localCheckpoint so the offset-count action and the returned
+    rows read the SAME physical partitioning — a re-executed range
+    sampler choosing different boundaries could otherwise misalign the
+    offsets. Re-runs still reproduce identical ranks regardless of
+    sampling: a unique value's global sort position does not depend on
+    where the partition boundaries fell.
+
+    PRECONDITION: `order_col` values are unique. With ties, the tied
+    rows' relative ranks are sampling-order-arbitrary AND the remap
+    would mask global_prefix_sum's duplicate guard downstream (ranks
+    are unique by construction) — the determinism contract is then
+    silently void, so deduplicate or disambiguate first."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+    base = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()  # single-use: pins sampling + ids (no reuse)
+    )
+    base = base.withColumn("_p", F.shiftright("_mid", 33))
+    counts = sorted(
+        base.groupBy("_p").count().collect(), key=lambda r: r["_p"]
+    )
+    offsets, running = [], 0
+    for r in counts:
+        offsets.append((int(r["_p"]), running))
+        running += int(r["count"])
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    off_df = spark.createDataFrame(offsets, "_p long, _off long")
+    pos = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        base.join(F.broadcast(off_df), "_p")
+        .withColumn(out_col, (F.col("_off") + pos).cast("long"))
+        .drop("_p", "_mid", "_off")
     )
 
 

@@ -277,7 +277,10 @@ class S3CasBackend(CasBackend):
         return getattr(exc, "response", {}).get("Error", {}).get("Code", "")
 
     def put_if_absent(self, n: int, data: str) -> bool:
-        for _ in range(64):
+        import random
+        import time as _time
+
+        for attempt in range(64):
             try:
                 self.client.put_object(
                     Bucket=self.bucket,
@@ -289,12 +292,29 @@ class S3CasBackend(CasBackend):
             except Exception as exc:
                 code = self._code(exc)
                 if code == "PreconditionFailed":
-                    return False  # CAS lost: slot exists
+                    # slot exists. The AMBIGUOUS-SUCCESS case: if OUR
+                    # conditional write landed but its 200 was lost
+                    # (SDK-level retry re-sent the put and now sees the
+                    # key), the slot holds OUR payload — treating that
+                    # as a loss would abort an epoch that actually
+                    # committed. Read the slot back: content == our
+                    # payload is a win.
+                    return self.read(n) == data
                 if code == "ConditionalRequestConflict":
                     # concurrent conditional write in flight; outcome
-                    # undecided — re-poll (bounded) until a winner lands
+                    # undecided — re-poll (bounded) until a winner
+                    # lands, with jittered exponential backoff so
+                    # contending writers don't hot-loop against S3
+                    _time.sleep(
+                        random.uniform(0, min(0.2 * (2 ** min(attempt, 6)),
+                                              2.0))
+                    )
                     continue
                 raise
+        # exhaustion: same ambiguity applies — check whether our write
+        # actually landed before declaring the commit dead
+        if self.read(n) == data:
+            return True
         raise CommitConflictError(
             f"slot {n}: conditional-write conflict did not settle"
         )

@@ -507,8 +507,9 @@ def test_s3_backend_speaks_boto3_conditional_put_surface(tmp_path):
     assert b.slots() == list(range(1, 7))
 
     # 409: in-flight concurrent conditional write — undecided, so the
-    # backend re-polls; here the rival's put lands between polls and the
-    # retry resolves to False (slot exists), never an exception.
+    # backend re-polls (with backoff); here a RIVAL's put lands between
+    # polls and the retry resolves to False (slot exists, different
+    # content), never an exception.
     flaky_calls = {"n": 0}
     real_put = client.put_object
 
@@ -516,13 +517,36 @@ def test_s3_backend_speaks_boto3_conditional_put_surface(tmp_path):
         if kw.get("Key", "").endswith("m=7.json") and flaky_calls["n"] < 2:
             flaky_calls["n"] += 1
             if flaky_calls["n"] == 2:
-                real_put(**kw)  # rival wins while we back off
+                real_put(
+                    Bucket=kw["Bucket"], Key=kw["Key"], Body=b"rival"
+                )  # rival wins while we back off
             raise S3ClientError("ConditionalRequestConflict", kw["Key"])
         return real_put(**kw)
 
     client.put_object = flaky_put
     assert b.put_if_absent(7, "ours") is False
-    assert b.read(7) == "ours"  # the rival's (identical-slot) write won
+    assert b.read(7) == "rival"  # the rival's write won
+    client.put_object = real_put
+
+    # ambiguous success: OUR conditional write landed but the 200 was
+    # lost (SDK-level retry re-sends and sees its own key → 412). The
+    # slot holds OUR bytes, so put_if_absent must claim the win — a
+    # False here would abort an epoch that actually committed.
+    def lost_200_put(**kw):
+        if kw.get("Key", "").endswith("m=8.json"):
+            try:
+                real_put(**kw)  # the write that actually landed
+            except S3ClientError:
+                pass
+            raise S3ClientError("PreconditionFailed", kw["Key"])
+        return real_put(**kw)
+
+    client.put_object = lost_200_put
+    assert b.put_if_absent(8, "mine") is True
+    assert b.read(8) == "mine"
+    client.put_object = real_put
+    # ...and a genuine 412 against someone else's slot is still a loss
+    assert b.put_if_absent(8, "latecomer") is False
 
 
 def test_sharded_manifest_equivalent_state_and_bounded_commit_io(spark, tmp_path):
