@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--max-deltas", type=int, default=8)
     p.add_argument("--max-delta-bytes", type=int, default=None)
+    p.add_argument("--max-records-per-file", type=int, default=None,
+                   help="split huge compacted buckets into bounded files "
+                        "(per-file zone maps keep reads pruned)")
     p.add_argument("--vacuum-retention", type=float, default=600.0)
     p.add_argument("--no-vacuum", action="store_true")
     p.add_argument("--once", action="store_true", help="one cycle and exit")
@@ -42,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     kw = dict(
         max_deltas=args.max_deltas,
         max_delta_bytes=args.max_delta_bytes,
+        max_records_per_file=args.max_records_per_file,
         retention_s=args.vacuum_retention,
         vacuum_enabled=not args.no_vacuum,
     )

@@ -31,6 +31,7 @@ def maintain_once(
     max_delta_bytes: int | None = None,
     retention_s: float = 600.0,
     vacuum_enabled: bool = True,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """One maintenance cycle: reload (rebase), compact chains over the
     thresholds, vacuum expired unreferenced files. Loud-abort on a lost
@@ -45,7 +46,8 @@ def maintain_once(
     }
     try:
         victims = table.compact(
-            spark, max_deltas=max_deltas, max_delta_bytes=max_delta_bytes
+            spark, max_deltas=max_deltas, max_delta_bytes=max_delta_bytes,
+            max_records_per_file=max_records_per_file,
         )
         out["compacted_buckets"] = len(victims)
         out["version"] = table.version

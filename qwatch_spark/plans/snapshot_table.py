@@ -388,10 +388,20 @@ class SnapshotTable:
         """Manifest bucket entry; accepts the legacy plain-int form.
         `z` maps version token → [min_warc_ts, max_warc_ts] (ISO strings)
         over that token's files for this bucket — the zone map readers
-        use to skip whole files on a time predicate."""
+        use to skip whole files on a time predicate. `zf` (optional,
+        recorded only when a (bucket, token) dir holds MORE THAN ONE
+        file) refines it per file: token → {filename: [lo, hi] | null}
+        — null means "range unknown, always read". A zf entry is only
+        ever written COMPLETE (every file of the dir listed), so readers
+        may treat its key set as the dir's file listing."""
         if isinstance(raw, dict):
-            return {"base": raw["base"], "deltas": raw["deltas"], "z": raw.get("z", {})}
-        return {"base": raw, "deltas": [], "z": {}}
+            return {
+                "base": raw["base"],
+                "deltas": raw["deltas"],
+                "z": raw.get("z", {}),
+                "zf": raw.get("zf", {}),
+            }
+        return {"base": raw, "deltas": [], "z": {}, "zf": {}}
 
     # ---------- sharded-manifest plumbing ----------
 
@@ -507,24 +517,44 @@ class SnapshotTable:
         and the winner's file can't be pruned. Tokens without a recorded
         range are conservatively kept."""
 
+        import datetime as dt
+
         def keep(e: dict, tok) -> bool:
             if min_warc_ts is None:
                 return True
             rng = e["z"].get(str(tok))
             if not rng or rng[1] is None:
                 return True
-            import datetime as dt
-
             hi = dt.datetime.fromisoformat(rng[1])
             return hi >= min_warc_ts
+
+        def paths_for(e: dict, tok, b) -> list[str]:
+            """The (bucket, token) dir — or, when a per-file zone map
+            exists and a predicate is set, only its passing FILES
+            (multi-file buckets: the pruning step after dir-level z).
+            zf entries are written complete, so the key set IS the
+            dir's file listing; a null range means always-read."""
+            d = os.path.join(self.path, "data", f"v={tok}", f"b={b}")
+            zf = e["zf"].get(str(tok)) if min_warc_ts is not None else None
+            if not zf:
+                return [d]
+            out = []
+            for fname, rng in zf.items():
+                if (
+                    not rng
+                    or rng[1] is None
+                    or dt.datetime.fromisoformat(rng[1]) >= min_warc_ts
+                ):
+                    out.append(os.path.join(d, fname))
+            return out
 
         base, deltas = [], []
         for b, e in self._entries(buckets):
             if e["base"] is not None and keep(e, e["base"]):
-                base.append(os.path.join(self.path, "data", f"v={e['base']}", f"b={b}"))
+                base.extend(paths_for(e, e["base"], b))
             for dv in e["deltas"]:
                 if keep(e, dv):
-                    deltas.append(os.path.join(self.path, "data", f"v={dv}", f"b={b}"))
+                    deltas.extend(paths_for(e, dv, b))
         return base, deltas
 
     def has_deltas(self, buckets: list[int] | None = None) -> bool:
@@ -838,6 +868,7 @@ class SnapshotTable:
                 "base": e["base"],
                 "deltas": [*e["deltas"], token],
                 "z": z,
+                **({"zf": e["zf"]} if e["zf"] else {}),
             }
         written = self._apply_bucket_updates(manifest, updates)
         self._swap_or_cleanup(manifest, out, extra_paths=written)
@@ -885,10 +916,66 @@ class SnapshotTable:
                 "base": e["base"],
                 "deltas": [*e["deltas"], token],
                 "z": e["z"],
+                **({"zf": e["zf"]} if e["zf"] else {}),
             }
         written = self._apply_bucket_updates(manifest, updates)
         self._swap_or_cleanup(manifest, out, extra_paths=written)
         return new_version
+
+    @staticmethod
+    def _file_ts_ranges(d: str) -> dict | None:
+        """Per-file warc_ts ranges from parquet FOOTERS for every file
+        of dir `d`: {fname: [lo_iso, hi_iso] | None} (None = file has
+        rows but no usable range — read it always). Returns None
+        overall when any footer lacks the statistics (INT96 history,
+        stats disabled) — callers then skip the per-file zone map and
+        keep the coarser dir-level one. Metadata-only: no data read."""
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        def norm(v):
+            if not isinstance(v, dt.datetime):
+                return None
+            if v.tzinfo is not None:
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        try:
+            names = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        except OSError:
+            return None
+        out: dict[str, list | None] = {}
+        for fname in names:
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                col = None
+                for i in range(rgm.num_columns):
+                    c = rgm.column(i)
+                    if c.path_in_schema == "warc_ts":
+                        col = c
+                        break
+                if col is None:
+                    return None
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = norm(st.min), norm(st.max)
+                    if mn is None or mx is None:
+                        return None
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                elif (
+                    st is not None
+                    and st.has_null_count
+                    and st.null_count == rgm.num_rows
+                ):
+                    continue  # all-null chunk contributes no range
+                else:
+                    return None
+            out[fname] = [_ziso(lo), _ziso(hi)] if lo is not None else None
+        return out
 
     def _delta_bytes(self, b: str, entry: dict) -> int:
         """On-disk bytes of a bucket's delta chain (driver-side listing;
@@ -910,6 +997,7 @@ class SnapshotTable:
         spark: SparkSession,
         max_deltas: int = 0,
         max_delta_bytes: int | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[int]:
         """Fold deltas into new base files for every bucket whose delta
         chain exceeds `max_deltas` versions OR (when set)
@@ -963,30 +1051,65 @@ class SnapshotTable:
         token = _vtoken(new_version)
         out = os.path.join(self.path, "data", f"v={token}")
         cols = [f.name for f in full_schema(self.payload_schema).fields]
-        (
+        writer = (
             resolved.withColumn("b", bucket_expr(self.n_buckets, self.key_col))
             .select("b", *cols)
             .repartition(max(len(victims), 1), "b")
+            # time-cluster within each bucket: file splits and row groups
+            # then cover disjoint warc_ts ranges, which is what makes the
+            # per-file zone maps (and parquet's own row-group stats)
+            # actually selective instead of every file spanning the whole
+            # history — a local sort, no extra exchange
+            .sortWithinPartitions("b", "warc_ts")
             .write.mode("overwrite")
             .partitionBy("b")
-            .parquet(out)
         )
+        if max_records_per_file:
+            # bound file size for very large buckets (one task still owns
+            # the whole bucket, but splits its output): the per-file zone
+            # maps below keep time-predicate reads from opening every
+            # split
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out)
         manifest = dict(self._manifest)
         manifest["version"] = new_version
         cur = self._buckets_of(self._manifest, only=[int(b) for b in victims])
         updates: dict = {}
         for b in victims:
-            # fold zone maps with the files: union of the folded ranges
-            # (loose after deletes, but never understated) — only when
-            # every folded file's range was known
-            old = self._bucket_entry(cur[str(b)])
-            prior = [t for t in [old["base"], *old["deltas"]] if t is not None]
-            known = [old["z"].get(str(t)) for t in prior]
-            rng = _zmerge(*known) if all(k is not None for k in known) else None
+            # zone maps for the new base, preferring EXACT per-file
+            # footer ranges (tight after deletes; also yields the
+            # per-file `zf` refinement when the bucket spans several
+            # files); fall back to folding the prior tokens' ranges
+            # (loose but never understated) when footers lack stats
+            franges = self._file_ts_ranges(os.path.join(out, f"b={b}"))
+            zf = {}
+            if franges is not None:
+                # dir-level z only when EVERY file's range is known —
+                # otherwise a dir skip could drop an unknown-range file
+                # that the per-file map would have (correctly) kept
+                rng = (
+                    _zmerge(*franges.values())
+                    if all(r is not None for r in franges.values())
+                    else None
+                )
+                if len(franges) > 1:
+                    zf = {str(token): franges}
+            else:
+                old = self._bucket_entry(cur[str(b)])
+                prior = [
+                    t for t in [old["base"], *old["deltas"]] if t is not None
+                ]
+                known = [old["z"].get(str(t)) for t in prior]
+                rng = (
+                    _zmerge(*known)
+                    if all(k is not None for k in known)
+                    else None
+                )
             updates[str(b)] = {
                 "base": token,
                 "deltas": [],
                 "z": {str(token): rng} if rng else {},
+                **({"zf": zf} if zf else {}),
             }
         written = self._apply_bucket_updates(manifest, updates)
         self._swap_or_cleanup(manifest, out, extra_paths=written)

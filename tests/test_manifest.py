@@ -744,3 +744,103 @@ def test_vacuum_retention_uses_newest_mtime_in_staging_tree(tmp_path):
     os.utime(staged, (old, old))
     assert "v=99-cafef00d" in t.vacuum(retention_s=600)
     assert not os.path.isdir(staged)
+
+
+def test_per_file_zone_map_prunes_within_multi_file_bucket(spark, tmp_path):
+    """A compacted bucket split across several files (maxRecordsPerFile)
+    gets a PER-FILE zone map (`zf`): a min_warc_ts read must then skip
+    whole files INSIDE a kept bucket dir — the chosen paths are file
+    paths and strictly fewer than the bucket's file count — while
+    returning exactly the unpruned read + post-filter. Subsequent delta
+    epochs must carry the base's zf forward."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.config import PipelineConfig
+    from qwatch_spark.operators.apply import apply_changes
+
+    FEED = (
+        "seq long, op string, url string, warc_ts timestamp, html binary,"
+        " lang string, source string"
+    )
+    cfg = PipelineConfig(n_buckets=2, write_mode="delta", rules=())
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=2)
+
+    def rows(month, base, n=120):
+        return [
+            (
+                base + i,
+                "U",
+                f"https://ex.com/m{month}-{i}",
+                dt.datetime(2024, month, 1 + i % 27),
+                b"<html>x</html>",
+                "en",
+                "s",
+            )
+            for i in range(n)
+        ]
+
+    apply_changes(spark, spark.createDataFrame(rows(1, 0), FEED), t, 0, cfg)
+    apply_changes(spark, spark.createDataFrame(rows(2, 1000), FEED), t, 1, cfg)
+    apply_changes(spark, spark.createDataFrame(rows(6, 2000), FEED), t, 2, cfg)
+    t = SnapshotTable(t.path)
+    # compact with small file splits: each bucket's base spans several
+    # time-sorted files
+    assert t.compact(spark, max_deltas=0, max_records_per_file=40)
+    t = SnapshotTable(t.path)
+    entries = dict(t._entries(None))
+    n_files_total = 0
+    for b, e in entries.items():
+        assert e["deltas"] == []
+        zf = e["zf"].get(str(e["base"]))
+        assert zf, f"bucket {b}: no per-file zone map"
+        d = os.path.join(t.path, "data", f"v={e['base']}", f"b={b}")
+        on_disk = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        assert sorted(zf) == on_disk, "zf incomplete vs dir listing"
+        assert len(zf) > 1, "fixture failed to split the bucket"
+        n_files_total += len(zf)
+
+    cut = dt.datetime(2024, 5, 1)  # only June rows pass
+    b_pr, d_pr = t._bucket_paths(None, min_warc_ts=cut)
+    chosen = b_pr + d_pr
+    assert all(p.endswith(".parquet") for p in chosen), (
+        "per-file map present but dir paths returned"
+    )
+    assert len(chosen) < n_files_total, "no file skipped inside buckets"
+    got = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_buckets(spark, min_warc_ts=cut).collect()
+    )
+    want = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_buckets(spark).filter(F.col("warc_ts") >= cut).collect()
+    )
+    assert got == want and len(got) == 120
+    # read_changes prunes identically through the same path chooser
+    cdf = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_changes(spark, 0, min_warc_ts=cut).collect()
+    )
+    cdf_want = sorted(
+        (r["url"], r["warc_ts"])
+        for r in t.read_changes(spark, 0).filter(
+            F.col("warc_ts") >= cut
+        ).collect()
+    )
+    assert cdf == cdf_want
+    # a later delta epoch must keep the base's zf (and the pruned read
+    # must still see the new rows)
+    apply_changes(
+        spark, spark.createDataFrame(rows(7, 3000, n=10), FEED), t, 3, cfg
+    )
+    t2 = SnapshotTable(t.path)
+    for b, e in t2._entries(None):
+        assert e["zf"], f"bucket {b}: zf dropped by delta commit"
+        assert len(e["deltas"]) == 1
+    got2 = {
+        r["url"] for r in t2.read_buckets(spark, min_warc_ts=cut).collect()
+    }
+    assert len(got2) == 130 and "https://ex.com/m7-3" in got2
