@@ -166,11 +166,60 @@ def _lsh_probe_batch(spark, sf_dir, n_queries: int = 32):
     )
 
 
+def _lsh_pairs_realistic(spark, sf_dir):
+    """q28's counterweight: the sf documents fixture has a 31-word
+    vocabulary, so ~70% of ALL pairs are true near-dups and q28's wall
+    measures output density, not the operator. This entry runs the SAME
+    operator over a deterministic realistic-vocabulary corpus (5k docs,
+    60 words each from a 50k vocab → cross-doc Jaccard ≈ 0.006, with 50
+    planted near-dups) where LSH behaves as the sieve it is in
+    production; the artifact prints the measured selectivity next to
+    the wall so the two entries are interpretable side by side."""
+    import hashlib
+
+    from qwatch_spark.operators.dedup_text import lsh_candidate_pairs
+
+    if not hasattr(_lsh_pairs_realistic, "docs"):
+        n_docs, doc_len, vocab, n_dups = 5000, 60, 50_000, 50
+        rows = []
+        for d in range(n_docs):
+            words = [
+                "w%d"
+                % (
+                    int(
+                        hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16
+                    )
+                    % vocab
+                )
+                for i in range(doc_len)
+            ]
+            rows.append((d, " ".join(words)))
+        for j in range(n_dups):
+            w = rows[j][1].split(" ")
+            w[0], w[doc_len // 2] = "zdup0", "zdup1"
+            rows.append((n_docs + j, " ".join(w)))
+        docs = (
+            spark.createDataFrame(rows, "doc_id int, text string")
+            .repartition(32)
+            .localCheckpoint()  # single-use pin: corpus gen off the clock
+        )
+        _lsh_pairs_realistic.docs = docs
+        n = n_docs + n_dups
+        n_cand = lsh_candidate_pairs(docs).count()
+        _lsh_pairs_realistic.stats = {
+            "lsh_realistic_docs": n,
+            "lsh_realistic_candidate_pairs": int(n_cand),
+            "lsh_realistic_selectivity": round(n_cand / (n * (n - 1) / 2), 6),
+        }
+    return lsh_candidate_pairs(_lsh_pairs_realistic.docs)
+
+
 EXTRA_BENCH = {
     "near_dup_refine_500docs": _near_dup_bounded,
     "ivf_probe_partition_pruned": _ivf_probe,
     "lsh_probe_partition_pruned": _lsh_probe,
     "lsh_probe_batch32": _lsh_probe_batch,
+    "lsh_pairs_realistic_corpus": _lsh_pairs_realistic,
 }
 
 # Entries whose operator runs ACTIONS inside the call (iterative
@@ -557,6 +606,7 @@ def main() -> None:
         **stream,
         **entity,
         **estream,
+        **getattr(_lsh_pairs_realistic, "stats", {}),
     }
     spark.stop()
     print(json.dumps(out))

@@ -631,3 +631,99 @@ def test_ivf_params_for_shape():
         ivf_params_for(1000, 0.0)
     with pytest.raises(ValueError):
         ivf_params_for(1000, 1.5)
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivf"])
+def test_concurrent_append_probe_stress(spark, emb, tmp_path, kind):
+    """Interleaved appender + probers against a live serving index
+    (driver threads share the executor pool — the streaming-ingest
+    shape): every probe issued mid-append must succeed, and any vector
+    whose append HAD COMMITTED before the probe picked it must be
+    findable as its own exact top hit; after the appender drains, the
+    full corpus is probe-visible. Mirrors the fp_bloom
+    concurrent-consolidation discipline for the ANN family."""
+    import random
+    import threading
+
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_probe_topk,
+        lsh_build_index,
+        lsh_index_append,
+        lsh_probe_topk,
+    )
+
+    rows = emb.collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    ids = sorted(vecs)
+    seed_ids, rest = ids[:40], ids[40:160]
+    path = str(tmp_path / kind)
+    seed_df = emb.filter(F.col("vec_id").isin(seed_ids))
+    if kind == "lsh":
+        lsh_build_index(seed_df, path, n_planes=16, n_bands=8)
+    else:
+        ivf_build_index(seed_df, path, n_cells=4)
+
+    committed = list(seed_ids)
+    lock = threading.Lock()
+    errors: list = []
+    stop = threading.Event()
+    probes_done = [0]
+
+    def probe_one(q: int):
+        if kind == "lsh":
+            got = lsh_probe_topk(spark, path, vecs[q], k=5).collect()
+        else:
+            got = ivf_probe_topk(
+                spark, path, vecs[q], k=5, n_probe=4
+            ).collect()
+        assert got, f"probe for {q} returned nothing"
+        top = got[0]
+        assert int(top["vec_id"]) == q, (
+            f"{kind}: committed vector {q} not its own top hit: {got[:3]}"
+        )
+
+    def appender():
+        try:
+            for i in range(0, len(rest), 30):
+                batch = rest[i : i + 30]
+                bdf = emb.filter(F.col("vec_id").isin(batch))
+                if kind == "lsh":
+                    lsh_index_append(bdf, path)
+                else:
+                    ivf_index_append(bdf, path)
+                with lock:
+                    committed.extend(batch)
+        except Exception as e:  # surface in main thread
+            errors.append(("append", repr(e)))
+        finally:
+            stop.set()
+
+    def prober(seed: int):
+        rnd = random.Random(seed)
+        try:
+            while not stop.is_set() or probes_done[0] < 4:
+                with lock:
+                    pool = list(committed)
+                probe_one(rnd.choice(pool))
+                probes_done[0] += 1
+                if probes_done[0] > 40:
+                    break
+        except Exception as e:
+            errors.append(("probe", repr(e)))
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=prober, args=(11,)),
+        threading.Thread(target=prober, args=(23,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert probes_done[0] >= 4
+    # quiescent sweep: the whole committed corpus is probe-visible
+    for q in (seed_ids[0], rest[0], rest[-1]):
+        probe_one(q)
