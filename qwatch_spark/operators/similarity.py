@@ -772,9 +772,16 @@ def lsh_probe_topk_batch(
         over partition columns only (lands in PartitionFilters, same
         guarantee the single probe plan-asserts);
       - a broadcast join on (band, bucket) fans candidates out to
-        their queries, (query, candidate) pairs colliding in several
-        bands are deduplicated, and cosine runs COLUMN-vs-COLUMN
-        (embedding × qvec) — no per-query literal arrays anywhere;
+        their queries and cosine runs COLUMN-vs-COLUMN (embedding ×
+        qvec) — no per-query literal arrays anywhere — BEFORE the
+        multi-band duplicate (query, candidate) pairs are folded by a
+        map-side-combined max over (query_id, id). Duplicate pairs are
+        byte-identical inputs, so their cosines are the same double and
+        max ≡ dedup-then-score; scoring first means the only exchange
+        in the job carries skinny (query_id, id, cosine) rows — never
+        the 64-double embedding arrays (a dropDuplicates before scoring
+        shuffled ~1 KB/collision-row; at 32 queries on this fixture
+        that was a multi-GB shuffle and ~85% of the batch wall);
       - per-query top-k via row_number over (desc cosine, id) — the
         same deterministic order the single probe sorts by, so results
         are row-identical to running `lsh_probe_topk` per query
@@ -813,17 +820,22 @@ def lsh_probe_topk_batch(
         )
         pred = c if pred is None else pred | c
     idx = spark.read.parquet(path).filter(pred)
-    cand = (
-        idx.select("band", "bucket", id_col, vec_col)
-        .join(F.broadcast(qdf), ["band", "bucket"])
-        .dropDuplicates(["query_id", id_col])
+    cand = idx.select("band", "bucket", id_col, vec_col).join(
+        F.broadcast(qdf), ["band", "bucket"]
     )
     if exclude_query_id:
         cand = cand.filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.select(
-        "query_id",
-        F.col(id_col),
-        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    scored = (
+        cand.select(
+            "query_id",
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+        )
+        # fold multi-band collisions AFTER scoring: partial aggregation
+        # shrinks each task's output to one row per (query, candidate)
+        # and the arrays stay on the scan side of the exchange
+        .groupBy("query_id", id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     from pyspark.sql import Window
 
