@@ -101,6 +101,21 @@ def run_stream(
             # side output too, so the sink stays exactly-once end-to-end
             stats.append(apply_changes(spark, batch_df, table, epoch_id, cfg))
             return
+        # the micro-batch is consumed by several jobs (dead-letter probe,
+        # then the apply's own passes): persist once so the source files
+        # are read/decoded a single time per epoch — the standard
+        # foreachBatch multi-use pattern. Cache footprint is bounded by
+        # max_files_per_trigger (the epoch size knob), spills to disk
+        # past executor storage, and is dropped at epoch end.
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _apply_live(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_live(batch_df, epoch_id: int) -> None:
         valid, dead = split_dead_letter(batch_df)
         # dead-letter side output (the reference turns decode errors into
         # events, inputs/docker-events.go:49-55; we keep them queryable).
@@ -224,6 +239,22 @@ def run_entity_stream(
         return df.filter(~bad), df.filter(bad)
 
     def _apply(batch_df, epoch_id: int) -> None:
+        # the batch fans out to MANY jobs (dead-letter probe, one routing
+        # filter per entity, skeleton derivation per FK, link derivation,
+        # then the per-table applies): persist once per epoch so the
+        # source files are read/decoded a single time instead of 6-8x.
+        # Bounded by max_files_per_trigger, spills past storage memory,
+        # dropped at epoch end. Replayed (all-tables-committed) epochs
+        # never materialize it — their applies skip before any action.
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _apply_live(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _apply_live(batch_df, epoch_id: int) -> None:
         # ALWAYS split — a crash between per-table commits (lead committed,
         # a lagging entity table not) replays this epoch, and the lagging
         # tables must still see only valid rows or replay-state diverges
