@@ -91,6 +91,30 @@ def _ivf_probe(spark, sf_dir):
     )
 
 
+def _ivf_probe_batch(spark, sf_dir, n_queries: int = 32):
+    """32 IVF probes as ONE job (ivf_probe_topk_batch): the serving
+    amortization twin of lsh_probe_batch32 — per-query plan
+    analysis/codegen on fresh literals is paid once for the batch.
+    Wall ÷ 32 is the amortized per-query cost; results pytest-pinned
+    identical to 32 single probes."""
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.similarity import ivf_probe_topk_batch
+
+    _ivf_probe(spark, sf_dir)  # reuse the built index
+    if not hasattr(_ivf_probe_batch, "queries"):
+        emb = q.ld(spark, sf_dir, "embeddings")
+        rows = emb.filter(F.col("vec_id") < n_queries).collect()
+        _ivf_probe_batch.queries = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows
+        ]
+    return ivf_probe_topk_batch(
+        spark, _ivf_probe.path, _ivf_probe_batch.queries, k=10, n_probe=2,
+        exclude_query_id=True,
+    )
+
+
 def _dedup_canonical(spark, sf_dir):
     """Cluster-canonical selection timed SEPARATELY from pair
     generation: connected components over a precomputed (cached) pair
@@ -217,6 +241,7 @@ def _lsh_pairs_realistic(spark, sf_dir):
 EXTRA_BENCH = {
     "near_dup_refine_500docs": _near_dup_bounded,
     "ivf_probe_partition_pruned": _ivf_probe,
+    "ivf_probe_batch32": _ivf_probe_batch,
     "lsh_probe_partition_pruned": _lsh_probe,
     "lsh_probe_batch32": _lsh_probe_batch,
     "lsh_pairs_realistic_corpus": _lsh_pairs_realistic,

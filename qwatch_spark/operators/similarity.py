@@ -549,6 +549,85 @@ def ivf_probe_topk(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def ivf_probe_topk_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_id: bool = False,
+) -> DataFrame:
+    """Serve MANY IVF probes as ONE Spark job — the amortized form of
+    `ivf_probe_topk`, mirroring `lsh_probe_topk_batch`: the single
+    probe's floor is per-query plan analysis/codegen on fresh query
+    literals, so a serving batch compiles the plan once instead.
+
+      - the bounded `_seeds` snapshot is read ONCE (one small job) and
+        every query's `n_probe` nearest cells are picked driver-side in
+        numpy, with the same round-then-lexsort tie-break as the single
+        probe — probe-cell choice is bit-identical per query;
+      - ONE scan reads the union of all queries' cells (`cell IN`
+        lands in PartitionFilters — the single probe's pruning
+        guarantee, kept);
+      - a broadcast join on `cell` fans candidates to the queries that
+        probed that cell. A vector lives in exactly one cell, so a
+        (query, candidate) pair occurs at most once — no fold step is
+        needed (unlike the LSH batch, where multi-band collisions are
+        folded by max);
+      - cosine runs column-vs-column and per-query top-k uses the same
+        (desc cosine, id) order as the single probe, so results are
+        row-identical to `ivf_probe_topk` per query (pytest-pinned).
+
+    `queries` is [(query_id, vector), ...]; returns (query_id, id_col,
+    cosine). `exclude_query_id` drops the candidate whose id equals its
+    query's id — the batch form of `exclude_id=qid`."""
+    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    if not seed_rows:
+        raise ValueError(f"IVF index at {path} has no seeds")
+    cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
+    mat = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    dim = mat.shape[1]
+    rows = []
+    for qid, vec in queries:
+        if len(vec) != dim:
+            raise ValueError(
+                f"query {qid} has length {len(vec)}, but the index at "
+                f"{path} was built with dim={dim}"
+            )
+        q = np.asarray([float(x) for x in vec], dtype=np.float64)
+        sims = (mat @ q) / (norms * np.sqrt((q * q).sum()))
+        order = np.lexsort((cells, -np.round(sims, 9)))
+        qv = [float(x) for x in vec]
+        for c in cells[order][:n_probe]:
+            rows.append((int(qid), int(c), qv))
+    qdf = spark.createDataFrame(
+        rows, "query_id long, cell int, qvec array<double>"
+    )
+    probe_cells = sorted({c for _qid, c, _qv in rows})
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = idx.select("cell", id_col, vec_col).join(
+        F.broadcast(qdf), ["cell"]
+    )
+    if exclude_query_id:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def lsh_build_index(
     vectors: DataFrame,
     path: str,

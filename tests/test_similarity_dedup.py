@@ -240,6 +240,58 @@ def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
     assert res == want
 
 
+def test_ivf_batch_probe_matches_per_query_and_prunes(spark, emb, tmp_path):
+    """ivf_probe_topk_batch must return, per query, EXACTLY what
+    ivf_probe_topk returns for that query (candidates, cosines,
+    tie-order), from one pruned union scan — `cell IN` still lands in
+    PartitionFilters."""
+    import re
+
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_topk,
+        ivf_probe_topk_batch,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8)
+    qids = [0, 3, 7, 11, 19, 42]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    batch = ivf_probe_topk_batch(
+        spark, path, [(q, qvecs[q]) for q in qids], k=10, n_probe=2,
+        exclude_query_id=True,
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"no partition filter on cell:\n{plan}"
+    got: dict[int, list[tuple[int, object]]] = {q: [] for q in qids}
+    for r in batch.orderBy("query_id", F.desc("cosine"), "vec_id").collect():
+        got[int(r["query_id"])].append((int(r["vec_id"]), r["cosine"]))
+    for q in qids:
+        want = [
+            (int(r["vec_id"]), r["cosine"])
+            for r in ivf_probe_topk(
+                spark, path, qvecs[q], k=10, n_probe=2, exclude_id=q
+            ).collect()
+        ]
+        assert got[q] == want, f"query {q} diverged from per-query probe"
+
+
+def test_ivf_batch_probe_wrong_dim_raises(spark, emb, tmp_path):
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_topk_batch,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, n_cells=8)
+    with pytest.raises(ValueError, match="length"):
+        ivf_probe_topk_batch(spark, path, [(1, [0.5] * 10)], k=5)
+
+
 def test_ivf_probe_empty_index_raises(spark, tmp_path, emb):
     from qwatch_spark.operators.similarity import ivf_build_index, ivf_probe_topk
 
