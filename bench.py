@@ -602,7 +602,12 @@ def main() -> None:
 
     n_stream = int(os.environ.get("QWATCH_BENCH_STREAM_EVENTS", "500000"))
     n_entity = int(os.environ.get("QWATCH_BENCH_ENTITY_EVENTS", "1000000"))
-    n_estream = int(os.environ.get("QWATCH_BENCH_ESTREAM_EVENTS", "500000"))
+    # sized to match EntityBench (its streaming twin) so the two walls
+    # are directly comparable and the per-epoch trigger/checkpoint fixed
+    # cost (~1.2 s) doesn't dominate the reading: at 500k events the
+    # entry measured the streaming machinery, not apply throughput
+    # (round-6 study: 500k -> 93k ev/s, 2M -> 242k ev/s, same code)
+    n_estream = int(os.environ.get("QWATCH_BENCH_ESTREAM_EVENTS", "1000000"))
     benches = [
         CdcBench(spark, n_events, cpus),
         StreamBench(spark, n_stream, cpus),
