@@ -622,3 +622,103 @@ def test_rows_est_seeded_on_legacy_manifest(spark, tmp_path):
     t2 = SnapshotTable(t.path)
     apply(spark, t2, EPOCHS[1], 2, c)
     assert t2.rows_est >= t2.read(spark).count()
+
+
+def test_fp_auto_bootstrap_races_live_applier(spark, tmp_path):
+    """The race the deferred bootstrap introduced: maintain_once rebuilds
+    the index WHILE an applier thread keeps committing epochs (CAS
+    second-writer setup, as in tests/test_maintenance.py). The finished
+    index must remain a SUPERSET of every committed live fingerprint —
+    pages landing before the request, inside the request window, and
+    mid-rebuild alike — so a duplicate of ANY committed page is still
+    gated after enablement. (Request-window epochs append their own
+    segments; the rebuild's read snapshot may or may not contain them;
+    overlap is fine, a gap would resurrect duplicates.)"""
+    import threading
+
+    from qwatch_spark.plans.commit_backend import CommitConflictError
+    from qwatch_spark.plans.maintenance import maintain_once
+
+    def page(i: int) -> bytes:
+        return (
+            b"<html><body>"
+            + (b"fresh page number %d full of plainly readable distinct "
+               b"words about rivers gardens and mountain trails " % i) * 4
+            + b"</body></html>"
+        )
+
+    c = PipelineConfig(
+        n_buckets=4, rules=RULES, fp_index="auto", fp_auto_rows=2,
+        write_mode="delta", commit_protocol="cas",
+    )
+    path = str(tmp_path / "t")
+    SnapshotTable.create(path, n_buckets=4, commit_protocol="cas")
+
+    def apply_retry(rows, epoch, attempts=50):
+        for _ in range(attempts):
+            try:
+                return apply_changes(
+                    spark, spark.createDataFrame(rows, FEED),
+                    SnapshotTable(path), epoch, c,
+                )
+            except CommitConflictError:
+                continue
+        raise AssertionError(f"epoch {epoch} never applied")
+
+    # epoch 0 commits 2 rows (est crosses on the NEXT apply); epoch 1
+    # requests enablement and opens the request window
+    apply_retry(
+        [(i, "I", f"https://a.ex/p{i}", TS(1), page(i), "en", "s")
+         for i in range(2)], 0,
+    )
+    apply_retry(
+        [(2, "I", "https://a.ex/p2", TS(2), page(2), "en", "s")], 1,
+    )
+    idx = FpBloomIndex(path)
+    assert idx.requested() and not idx.enabled()
+
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def applier():
+        try:
+            for e in range(2, 10):
+                i = e + 1  # pages p3..p10, one per epoch
+                apply_retry(
+                    [(10 + i, "I", f"https://a.ex/p{i}", TS(3), page(i),
+                      "en", "s")], e,
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def maintainer():
+        try:
+            while not done.is_set() or not FpBloomIndex(path).enabled():
+                maintain_once(spark, path, vacuum_enabled=False)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ta, tm = threading.Thread(target=applier), threading.Thread(target=maintainer)
+    ta.start(), tm.start()
+    ta.join(600), tm.join(600)
+    assert not errors, errors
+    assert FpBloomIndex(path).enabled()
+    t = SnapshotTable(path)
+    live = {r["url"] for r in t.read(spark).collect()}
+    assert live == {f"https://a.ex/p{i}" for i in range(11)}
+    # superset check: duplicates of pre-request (p0), request-window
+    # (p2), and mid-race (p5, p10) content must ALL be gated; one
+    # genuinely fresh page must pass
+    apply_retry(
+        [(100, "I", "https://a.ex/dup0", TS(8), page(0), "en", "s"),
+         (101, "I", "https://a.ex/dup2", TS(8), page(2), "en", "s"),
+         (102, "I", "https://a.ex/dup5", TS(8), page(5), "en", "s"),
+         (103, "I", "https://a.ex/dup10", TS(8), page(10), "en", "s"),
+         (104, "I", "https://a.ex/new", TS(8), page(99), "en", "s")], 10,
+    )
+    after = {r["url"] for r in SnapshotTable(path).read(spark).collect()}
+    assert after == live | {"https://a.ex/new"}, (
+        sorted(after - live - {"https://a.ex/new"})
+    )
