@@ -608,6 +608,16 @@ def test_lsh_batch_probe_matches_per_query_and_prunes(spark, emb, tmp_path):
     assert m and "band" in m.group(1) and "bucket" in m.group(1), (
         f"no partition filter on band/bucket:\n{plan}"
     )
+    # the multi-band fold must be a map-side-combined aggregate over
+    # SCORED rows: partial_max below the exchange, and no exchange may
+    # carry the embedding arrays (the pre-fix dropDuplicates shuffled
+    # ~1 KB rows holding both 64-double vectors)
+    assert "partial_max(cosine" in plan, f"fold is not map-side combined:\n{plan}"
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line and "qvec" not in line, (
+                f"arrays crossed an exchange:\n{line}"
+            )
     got: dict[int, list[tuple[int, object]]] = {q: [] for q in qids}
     for r in batch.orderBy("query_id", F.desc("cosine"), "vec_id").collect():
         got[int(r["query_id"])].append((int(r["vec_id"]), r["cosine"]))
