@@ -94,6 +94,7 @@ def global_prefix_sum(
     order_col: str,
     out_col: str = "prefix_sum",
     n_parts: int | None = None,
+    eager_tie_check: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of `value_col` in `order_col` order, without
     ever collapsing the data to one partition.
@@ -119,11 +120,38 @@ def global_prefix_sum(
     order VALUE, so a dense hotspot in `order_col` concentrates rows —
     ideal for dense ids (doc_id), fine for epoch times, wrong for
     zipfian keys (re-map those with `dense_rank_remap` first: one extra
-    count-balanced exchange, then the ranks are dense and safe here)."""
+    count-balanced exchange, then the ranks are dense and safe here).
+
+    Tie guard semantics: `order_col` must be unique, and the duplicate
+    guard fires at EXECUTION time, not call time — it is a
+    `raise_error` expression embedded in `out_col`, so a plan that
+    prunes `out_col` (or never materializes the tied rows) evaluates
+    without error. Only the tied rows' own prefixes are
+    nondeterministic, and those do raise whenever computed, so lazy
+    firing is sound — but callers that relied on the pre-r6 fail-fast
+    call-time behavior should pass `eager_tie_check=True`, which runs
+    one extra aggregation job up front and raises ValueError on any
+    duplicate regardless of what downstream materializes."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+    if eager_tie_check:
+        dup = (
+            df.groupBy(order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"global_prefix_sum: order_col {order_col!r} has a "
+                f"duplicate value ({dup[0][order_col]}); the global "
+                "order (hence every prefix sum) would be "
+                "nondeterministic. Provide a unique order column or "
+                "disambiguate ties upstream."
+            )
     lo, hi = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()

@@ -549,6 +549,35 @@ def ivf_probe_topk(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def _batch_probe_guard(
+    spark, path: str, queries: list, max_batch: int, id_col: str
+):
+    """Shared front door for the batch probes: returns an empty
+    (query_id, id_col, cosine) DataFrame — id_col typed from the index
+    itself, so the empty result is schema-identical to a non-empty one
+    — when `queries` is empty (filter(None) on a predicate built from
+    zero rows raised a confusing TypeError before), and raises a clear
+    ValueError past `max_batch`: each query is replicated n_bands /
+    n_probe times into a driver-side createDataFrame + broadcast, so an
+    unbounded batch grows driver memory quadratic-ish in (batch ×
+    fan-out × dim). Chunk big batches caller-side — probe results are
+    per-query independent, so unioning chunked calls is exact."""
+    if len(queries) > max_batch:
+        raise ValueError(
+            f"batch of {len(queries)} queries exceeds max_batch="
+            f"{max_batch}: each query is replicated per band/probe-cell "
+            "into a driver-side broadcast. Chunk the batch into "
+            f"<= {max_batch}-query calls and union the results — they "
+            "are per-query independent, so chunking is exact."
+        )
+    if queries:
+        return None
+    id_type = dict(spark.read.parquet(path).dtypes)[id_col]
+    return spark.createDataFrame(
+        [], f"query_id long, {id_col} {id_type}, cosine double"
+    )
+
+
 def ivf_probe_topk_batch(
     spark,
     path: str,
@@ -558,6 +587,7 @@ def ivf_probe_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_query_id: bool = False,
+    max_batch: int = 1024,
 ) -> DataFrame:
     """Serve MANY IVF probes as ONE Spark job — the amortized form of
     `ivf_probe_topk`, mirroring `lsh_probe_topk_batch`: the single
@@ -582,7 +612,12 @@ def ivf_probe_topk_batch(
 
     `queries` is [(query_id, vector), ...]; returns (query_id, id_col,
     cosine). `exclude_query_id` drops the candidate whose id equals its
-    query's id — the batch form of `exclude_id=qid`."""
+    query's id — the batch form of `exclude_id=qid`. An empty batch
+    returns an empty schema-identical frame; batches over `max_batch`
+    raise (see `_batch_probe_guard` — chunk and union, it's exact)."""
+    empty = _batch_probe_guard(spark, path, queries, max_batch, id_col)
+    if empty is not None:
+        return empty
     seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
@@ -837,6 +872,7 @@ def lsh_probe_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_query_id: bool = False,
+    max_batch: int = 1024,
 ) -> DataFrame:
     """Serve MANY probes as ONE Spark job — the amortized form of
     `lsh_probe_topk`, whose per-query floor is not I/O but plan
@@ -872,7 +908,13 @@ def lsh_probe_topk_batch(
     exclusion. The broadcast join keys the scan rows against ALL
     queries' buckets, so a band's IN-list over-reads only rows another
     query legitimately needs; cross-query false candidates cannot
-    appear because the join re-checks the exact (band, bucket) pair."""
+    appear because the join re-checks the exact (band, bucket) pair.
+    An empty batch returns an empty schema-identical frame; batches
+    over `max_batch` raise (see `_batch_probe_guard` — chunk and
+    union, it's exact)."""
+    empty = _batch_probe_guard(spark, path, queries, max_batch, id_col)
+    if empty is not None:
+        return empty
     n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
     rows = []
     for qid, vec in queries:

@@ -323,14 +323,22 @@ class FpBloomIndex:
         filter files whose epoch was already committed at the read
         snapshot — an in-flight concurrent writer stages its segment
         before its commit, and that segment has a higher epoch, so it
-        survives. `full-*` files carry the snapshot watermark in their
-        name and are superseded (deleted) by any later rebuild."""
+        survives. The deletion watermark comes from ``table._manifest``
+        — the SAME snapshot ``read_buckets`` keys its scan off — not a
+        fresh ``_load_manifest()``: an epoch committed between the
+        table's construction and this call would otherwise have its
+        segment deleted (epoch <= fresh watermark) while its rows are
+        absent from the stale read, permanently losing fingerprints.
+        `full-*` files carry their own snapshot watermark in their name
+        and are deleted only when that watermark is <= ours — a
+        concurrent rebuild that read a NEWER snapshot holds fingerprints
+        our read cannot see, so its consolidation must survive."""
         from pyspark.sql import functions as F
 
         from qwatch_spark.operators.rules import FP_COL
 
         old = self.segment_paths()
-        man = table._load_manifest()
+        man = table._manifest
         committed = max(
             [man.get("epoch_watermark", -1), *man.get("applied_epochs", [-1])]
         )
@@ -372,9 +380,14 @@ class FpBloomIndex:
                         pass
             elif name.startswith("full-w"):
                 try:
-                    os.unlink(p)  # superseded consolidation
-                except OSError:
-                    pass
+                    w = int(name.split("-")[1][1:])
+                except ValueError:
+                    continue
+                if w <= committed:
+                    try:
+                        os.unlink(p)  # superseded consolidation
+                    except OSError:
+                        pass
         try:  # the bootstrap this marker requested has now run
             os.unlink(os.path.join(self.dir, REQUEST_FILE))
         except OSError:

@@ -200,6 +200,59 @@ def test_maintenance_rebuild_consolidates_segments(spark, tmp_path):
     }
 
 
+def test_rebuild_on_stale_handle_keeps_unseen_epoch_segment(spark, tmp_path):
+    """ADVICE r6: rebuild()'s deletion watermark must come from the SAME
+    manifest snapshot its live-row read uses (table._manifest), not a
+    fresh reload. A racer commits epoch 1 AFTER the maintainer's table
+    handle was constructed; the stale handle's read cannot see epoch 1's
+    rows, so epoch 1's bloom segment must SURVIVE the rebuild — deleting
+    it would permanently lose those fingerprints and let later
+    duplicates bloom-miss straight past the gate."""
+    c = cfg(True, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, [(1, "I", "https://a.ex/1", TS(1), PAGE_A, "en", "s")], 0, c)
+
+    stale = SnapshotTable(t.path)  # maintainer's handle: sees epoch 0 only
+    racer = SnapshotTable(t.path)
+    apply(
+        spark, racer,
+        [(2, "I", "https://a.ex/2", TS(2), PAGE_B, "en", "s")], 1, c,
+    )
+
+    idx = FpBloomIndex(t.path)
+    idx.rebuild(spark, stale)
+    names = [os.path.basename(p) for p in idx.segment_paths()]
+    assert any(n.startswith("seg-e1-") for n in names), names
+
+    # behavioral proof: a duplicate of the racer's page is still caught
+    fresh = SnapshotTable(t.path)
+    apply(
+        spark, fresh,
+        [(3, "I", "https://a.ex/dup2", TS(3), PAGE_B, "en", "s")], 2, c,
+    )
+    assert "https://a.ex/dup2" not in {
+        r["url"] for r in fresh.read(spark).collect()
+    }
+
+
+def test_rebuild_keeps_newer_concurrent_full_filter(spark, tmp_path):
+    """A concurrent rebuild that consolidated at a NEWER watermark holds
+    fingerprints our stale read cannot see; our rebuild must not delete
+    its full-w file (only ones at <= our watermark are superseded)."""
+    c = cfg(True, "delta")
+    t = SnapshotTable.create(str(tmp_path / "t"), n_buckets=4)
+    apply(spark, t, [(1, "I", "https://a.ex/1", TS(1), PAGE_A, "en", "s")], 0, c)
+    stale = SnapshotTable(t.path)
+    idx = FpBloomIndex(t.path)
+    newer = _Bloom(1 << 13)
+    newer.add_many(*_fp_words(["%032x" % 12345]))
+    idx._write_filter("full-w9-cafebabe.npz", newer)  # watermark 9 > ours (0)
+    idx.rebuild(spark, stale)
+    names = [os.path.basename(p) for p in idx.segment_paths()]
+    assert any(n.startswith("full-w9-") for n in names), names
+    assert any(n.startswith("full-w0-") for n in names), names
+
+
 def test_orphan_superset_segment_is_harmless(spark, tmp_path):
     """A crashed writer's segment (fps never committed) only ADDS bloom
     hits; the exact check finds no live owner and the rows ingest."""

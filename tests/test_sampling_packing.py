@@ -198,6 +198,36 @@ def test_global_prefix_sum_rejects_duplicate_order_values(spark):
     assert got == {1: 0, 2: 10, 5: 30}
 
 
+def test_global_prefix_sum_eager_tie_check_fails_at_call_time(spark):
+    """ADVICE r6: the lazy raise_error guard never fires if out_col is
+    pruned before evaluation — callers needing the pre-r6 fail-fast
+    contract opt into eager_tie_check, which raises AT CALL TIME even
+    when the guarded column would be dropped."""
+    import pytest
+
+    from qwatch_spark.operators.sampling import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (5, 40)], "ord long, v long"
+    )
+    # lazy default: pruning out_col silences the guard (documented gap)
+    lazy = global_prefix_sum(df, "v", "ord").drop("prefix_sum")
+    assert lazy.count() == 4
+    with pytest.raises(ValueError, match="duplicate"):
+        global_prefix_sum(df, "v", "ord", eager_tie_check=True)
+    # eager on clean input: same result as lazy
+    clean = spark.createDataFrame(
+        [(1, 10), (2, 20), (5, 40)], "ord long, v long"
+    )
+    got = {
+        r["ord"]: r["prefix_sum"]
+        for r in global_prefix_sum(
+            clean, "v", "ord", eager_tie_check=True
+        ).collect()
+    }
+    assert got == {1: 0, 2: 10, 5: 30}
+
+
 def test_dense_rank_remap_is_global_sort_position(spark):
     """Ranks must equal each unique value's 0-based global sort
     position, for a pathologically skewed value distribution (zipfian

@@ -280,6 +280,48 @@ def test_ivf_batch_probe_matches_per_query_and_prunes(spark, emb, tmp_path):
         assert got[q] == want, f"query {q} diverged from per-query probe"
 
 
+def test_batch_probe_empty_guard_and_chunking(spark, emb, tmp_path):
+    """ADVICE r6 + verdict #8: an empty batch returns an empty frame
+    with the SAME schema as a non-empty probe (no filter(None)
+    TypeError); a batch past max_batch raises a clear ValueError; and
+    chunked calls union to exactly the unchunked result — the chunking
+    escape hatch the guard's error message prescribes."""
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_topk_batch,
+        lsh_build_index,
+        lsh_probe_topk_batch,
+    )
+
+    ivf_path = str(tmp_path / "ivf")
+    lsh_path = str(tmp_path / "lsh")
+    ivf_build_index(emb, ivf_path, n_cells=8)
+    lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
+    qids = [0, 3, 7, 11]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    batch = [(q, qvecs[q]) for q in qids]
+    for fn, path in (
+        (ivf_probe_topk_batch, ivf_path),
+        (lsh_probe_topk_batch, lsh_path),
+    ):
+        full = fn(spark, path, batch, k=5)
+        e = fn(spark, path, [], k=5)
+        assert e.count() == 0
+        assert e.schema == full.schema, (e.schema, full.schema)
+        with pytest.raises(ValueError, match="max_batch"):
+            fn(spark, path, batch, k=5, max_batch=3)
+        chunked = fn(spark, path, batch[:2], k=5, max_batch=2).unionAll(
+            fn(spark, path, batch[2:], k=5, max_batch=2)
+        )
+        key = lambda r: (r["query_id"], r["vec_id"])  # noqa: E731
+        assert sorted(chunked.collect(), key=key) == sorted(
+            full.collect(), key=key
+        )
+
+
 def test_ivf_batch_probe_wrong_dim_raises(spark, emb, tmp_path):
     from qwatch_spark.operators.similarity import (
         ivf_build_index,
