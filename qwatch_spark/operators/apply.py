@@ -113,7 +113,9 @@ def _maybe_append_fp_segment(
     idx.merge_small_segments(committed, max_files=cfg.fp_merge_segments)
 
 
-def _delta_footer_stats(out: str, touched: list[int]) -> dict | None:
+def _delta_footer_stats(
+    out: str, touched: list[int], max_workers: int | None = None
+) -> dict | None:
     """Per-bucket commit stats from parquet FOOTERS alone — the zero-job
     replacement for the per-epoch aggregate scan of the just-written
     delta files. Per bucket: row count (metadata), delete count (the
@@ -124,17 +126,32 @@ def _delta_footer_stats(out: str, touched: list[int]) -> dict | None:
     that predates `_del`) — the caller then falls back to the Spark
     aggregate job, so correctness NEVER depends on footers.
 
-    Scale shape: O(touched files) metadata reads on the driver — the
-    same order of work the manifest commit itself does, and exactly how
-    lake formats (Delta/Iceberg) collect per-file stats at commit time.
-    The Spark job it replaces cost a scheduler round-trip per table per
-    epoch, which under concurrent multi-table applies queued behind
-    other tables' write jobs (measured: 2.4 s of a 5.5 s entity-stream
-    wall was this job × 6 table-epochs)."""
+    Scale shape: O(touched files) metadata reads through the
+    `plans/datafs` seam, at the FS's OWN parallelism (`io_workers`):
+    local footers are ~75 µs of native CPU where a pool measured 8×
+    slower, so local runs the plain loop; object-store footers are a
+    round-trip each, so `s3://` overlaps a wide thread pool — which is
+    what keeps the commit's stats phase ~flat as touched-file count
+    grows instead of re-serializing at thousands of touched buckets
+    (measured in scripts/bench_commit_stats.py, recorded in
+    BENCH/BASELINE.md). `datafs_for` serves local paths directly and
+    `s3://` through the same pluggable client the CAS commit log uses;
+    unknown schemes return None here → the Spark-job fallback. This is how lake
+    formats collect per-file stats at commit time, minus write-task
+    harvesting (Spark owns the data write, so the driver pool is the
+    seam we own). The Spark job it replaces cost a scheduler
+    round-trip per table per epoch, which under concurrent multi-table
+    applies queued behind other tables' write jobs (measured: 2.4 s of
+    a 5.5 s entity-stream wall was this job × 6 table-epochs)."""
     import datetime as dt
-    import glob as _glob
 
-    import pyarrow.parquet as pq
+    from qwatch_spark.plans.datafs import datafs_for
+
+    fs = datafs_for(out)
+    if fs is None:
+        return None
+    if max_workers is None:
+        max_workers = fs.io_workers  # local: sequential; s3: wide
 
     def norm_ts(v):
         if isinstance(v, dt.datetime):
@@ -143,65 +160,102 @@ def _delta_footer_stats(out: str, touched: list[int]) -> dict | None:
             return v
         return None
 
-    res: dict[int, dict] = {}
-    for b in touched:
-        files = _glob.glob(os.path.join(out, f"b={b}", "*.parquet"))
-        if not files:
-            return None
+    def file_stats(md) -> dict | None:
+        """One footer's FileMetaData folded to partial stats; None = a
+        required statistic is absent (whole fast path then falls back)."""
         n = nd = 0
         seq_lo: list = []
         seq_hi: list = []
         ts_lo: list = []
         ts_hi: list = []
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            for rg in range(md.num_row_groups):
-                rgm = md.row_group(rg)
-                cols = {
-                    rgm.column(i).path_in_schema: rgm.column(i)
-                    for i in range(rgm.num_columns)
-                }
-                seq_c, del_c, ts_c = (
-                    cols.get("seq"), cols.get("_del"), cols.get("warc_ts")
-                )
-                if seq_c is None or del_c is None or ts_c is None:
-                    return None
-                seq_st, del_st, ts_st = (
-                    seq_c.statistics, del_c.statistics, ts_c.statistics
-                )
-                if (
-                    seq_st is None
-                    or not seq_st.has_min_max
-                    or del_st is None
-                    or not del_st.has_null_count
-                ):
-                    return None
-                n += rgm.num_rows
-                nd += rgm.num_rows - del_st.null_count
-                seq_lo.append(seq_st.min)
-                seq_hi.append(seq_st.max)
-                if ts_st is not None and ts_st.has_min_max:
-                    lo, hi = norm_ts(ts_st.min), norm_ts(ts_st.max)
-                    if lo is None or hi is None:
-                        return None  # non-datetime stats (INT96 etc.)
-                    ts_lo.append(lo)
-                    ts_hi.append(hi)
-                elif (
-                    ts_st is not None
-                    and ts_st.has_null_count
-                    and ts_st.null_count == rgm.num_rows
-                ):
-                    pass  # all-null chunk: no range, same as F.min/F.max
-                else:
-                    return None
-        res[int(b)] = {
-            "n": n,
-            "nd": nd,
-            "min_seq": min(seq_lo),
-            "max_seq": max(seq_hi),
-            "lo": min(ts_lo) if ts_lo else None,
-            "hi": max(ts_hi) if ts_hi else None,
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            cols = {
+                rgm.column(i).path_in_schema: rgm.column(i)
+                for i in range(rgm.num_columns)
+            }
+            seq_c, del_c, ts_c = (
+                cols.get("seq"), cols.get("_del"), cols.get("warc_ts")
+            )
+            if seq_c is None or del_c is None or ts_c is None:
+                return None
+            seq_st, del_st, ts_st = (
+                seq_c.statistics, del_c.statistics, ts_c.statistics
+            )
+            if (
+                seq_st is None
+                or not seq_st.has_min_max
+                or del_st is None
+                or not del_st.has_null_count
+            ):
+                return None
+            n += rgm.num_rows
+            nd += rgm.num_rows - del_st.null_count
+            seq_lo.append(seq_st.min)
+            seq_hi.append(seq_st.max)
+            if ts_st is not None and ts_st.has_min_max:
+                lo, hi = norm_ts(ts_st.min), norm_ts(ts_st.max)
+                if lo is None or hi is None:
+                    return None  # non-datetime stats (INT96 etc.)
+                ts_lo.append(lo)
+                ts_hi.append(hi)
+            elif (
+                ts_st is not None
+                and ts_st.has_null_count
+                and ts_st.null_count == rgm.num_rows
+            ):
+                pass  # all-null chunk: no range, same as F.min/F.max
+            else:
+                return None
+        return {
+            "n": n, "nd": nd,
+            "seq_lo": min(seq_lo), "seq_hi": max(seq_hi),
+            "ts_lo": min(ts_lo) if ts_lo else None,
+            "ts_hi": max(ts_hi) if ts_hi else None,
         }
+
+    # phase 1: ONE tree listing of the epoch dir covers every touched
+    # bucket (~1000 keys per object-store LIST round-trip — per-bucket
+    # LISTs would pay one round-trip per touched bucket)
+    tree = fs.list_parquet_tree(out)
+    pairs: list[tuple[int, str]] = []
+    for b in touched:
+        files = tree.get(f"b={b}")
+        if not files:
+            return None
+        pairs.extend((int(b), f) for f in files)
+    # phase 2: every touched FILE's footer — the FS overlaps the byte
+    # fetches and parses serially (see DataFS.parquet_metadata_many)
+    mds = fs.parquet_metadata_many([f for _b, f in pairs], max_workers)
+    per_file = [file_stats(md) for md in mds]
+    res: dict[int, dict] = {}
+    for (b, _f), st in zip(pairs, per_file):
+        if st is None:
+            return None
+        acc = res.setdefault(
+            b,
+            {"n": 0, "nd": 0, "min_seq": None, "max_seq": None,
+             "lo": None, "hi": None},
+        )
+        acc["n"] += st["n"]
+        acc["nd"] += st["nd"]
+        acc["min_seq"] = (
+            st["seq_lo"] if acc["min_seq"] is None
+            else min(acc["min_seq"], st["seq_lo"])
+        )
+        acc["max_seq"] = (
+            st["seq_hi"] if acc["max_seq"] is None
+            else max(acc["max_seq"], st["seq_hi"])
+        )
+        if st["ts_lo"] is not None:
+            acc["lo"] = (
+                st["ts_lo"] if acc["lo"] is None
+                else min(acc["lo"], st["ts_lo"])
+            )
+            acc["hi"] = (
+                st["ts_hi"] if acc["hi"] is None
+                else max(acc["hi"], st["ts_hi"])
+            )
     return res
 
 

@@ -217,6 +217,7 @@ def dense_rank_remap(
     order_col: str,
     out_col: str = "order_rank",
     n_parts: int | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Remap a UNIQUE but arbitrarily-distributed order key (zipfian
     values, huge gaps, hotspots) to its dense global sort position
@@ -231,13 +232,23 @@ def dense_rank_remap(
     bucketing loses) + a partition-local sort; the rank itself is
     monotonically_increasing_id's (partition, position) encoding plus
     driver-folded per-partition offsets — no window, no second data
-    shuffle, never a single-partition sort. The ranked frame is pinned
-    with localCheckpoint so the offset-count action and the returned
-    rows read the SAME physical partitioning — a re-executed range
-    sampler choosing different boundaries could otherwise misalign the
-    offsets. Re-runs still reproduce identical ranks regardless of
-    sampling: a unique value's global sort position does not depend on
-    where the partition boundaries fell.
+    shuffle, never a single-partition sort. The ranked frame must be
+    pinned so the offset-count action and the returned rows read the
+    SAME physical partitioning — a re-executed range sampler choosing
+    different boundaries could otherwise misalign the offsets. HOW it
+    is pinned is the `work_dir` choice: by default `localCheckpoint`
+    (fine for one-shot local use, but it materializes the WHOLE ranked
+    frame into executor block storage — the wrong shape at 100 TB);
+    with `work_dir` set, the frame spills to a parquet round-trip
+    instead (the same pattern `connected_components` uses), so nothing
+    is pinned to executor memory and the scratch lives on shared
+    storage every executor can read. The spill files must outlive the
+    RETURNED DataFrame (it scans them lazily) — the caller owns
+    cleanup, e.g. a TTL'd scratch prefix, same contract as
+    `connected_components`' work_dir. Re-runs still reproduce
+    identical ranks regardless of sampling: a unique value's global
+    sort position does not depend on where the partition boundaries
+    fell.
 
     PRECONDITION: `order_col` values are unique. With ties, the tied
     rows' relative ranks are sampling-order-arbitrary AND the remap
@@ -246,12 +257,20 @@ def dense_rank_remap(
     silently void, so deduplicate or disambiguate first."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
-    base = (
+    ranked = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint()  # single-use: pins sampling + ids (no reuse)
     )
+    if work_dir is None:
+        # single-use pin: sampling + ids frozen in executor storage
+        base = ranked.localCheckpoint()
+    else:
+        import uuid
+
+        p = f"{work_dir.rstrip('/')}/rank-{uuid.uuid4().hex}"
+        ranked.write.parquet(p)
+        base = spark.read.parquet(p)
     base = base.withColumn("_p", F.shiftright("_mid", 33))
     counts = sorted(
         base.groupBy("_p").count().collect(), key=lambda r: r["_p"]

@@ -167,7 +167,10 @@ class FakeS3Client:
     """Minimal in-repo fake of the boto3 S3 client surface the CAS
     protocol needs — conditional `put_object(IfNoneMatch="*")` (S3's
     compare-and-swap, generally available since Aug 2024), paginated
-    `list_objects_v2`, `get_object`, `delete_object`.
+    `list_objects_v2`, `get_object` (incl. ranged reads),
+    `head_object`, `delete_object`. Objects are stored as BYTES so the
+    same fake serves both the JSON commit log and the parquet data
+    files the metadata fast paths footer-read (plans/datafs.py).
 
     Object maps are class-level and keyed by bucket so every client
     instance in the process shares one store — the same property a real
@@ -177,17 +180,21 @@ class FakeS3Client:
     S3CasBackend.slots() is exercised by EVERY test, not just a
     hypothetical >1000-slot table."""
 
-    _buckets: dict[str, dict[str, str]] = {}
+    _buckets: dict[str, dict[str, bytes]] = {}
     _lock = threading.Lock()
 
     def __init__(self, page_size: int = 2):
         self.page_size = int(page_size)
 
-    def _bucket(self, name: str) -> dict[str, str]:
+    def _bucket(self, name: str) -> dict[str, bytes]:
         return self._buckets.setdefault(name, {})
 
     def put_object(self, Bucket: str, Key: str, Body, IfNoneMatch: str | None = None):
-        data = Body.decode() if isinstance(Body, (bytes, bytearray)) else str(Body)
+        data = (
+            bytes(Body)
+            if isinstance(Body, (bytes, bytearray))
+            else str(Body).encode()
+        )
         with self._lock:
             objs = self._bucket(Bucket)
             if IfNoneMatch == "*" and Key in objs:
@@ -203,13 +210,15 @@ class FakeS3Client:
         MaxKeys: int | None = None,
     ):
         with self._lock:
-            keys = sorted(
-                k for k in self._bucket(Bucket) if k.startswith(Prefix)
-            )
+            objs = self._bucket(Bucket)
+            keys = sorted(k for k in objs if k.startswith(Prefix))
+            sizes = {k: len(objs[k]) for k in keys}
         if ContinuationToken is not None:
             keys = [k for k in keys if k > ContinuationToken]
         page = keys[: MaxKeys or self.page_size]
-        out: dict = {"Contents": [{"Key": k} for k in page]}
+        out: dict = {
+            "Contents": [{"Key": k, "Size": sizes[k]} for k in page]
+        }
         if len(keys) > len(page):
             out["IsTruncated"] = True
             out["NextContinuationToken"] = page[-1]
@@ -217,14 +226,27 @@ class FakeS3Client:
             out["IsTruncated"] = False
         return out
 
-    def get_object(self, Bucket: str, Key: str):
+    def get_object(self, Bucket: str, Key: str, Range: str | None = None):
         import io
 
         with self._lock:
             objs = self._bucket(Bucket)
             if Key not in objs:
                 raise S3ClientError("NoSuchKey", Key)
-            return {"Body": io.BytesIO(objs[Key].encode())}
+            data = objs[Key]
+        if Range is not None:
+            # "bytes=a-b", inclusive, like S3
+            spec = Range.split("=", 1)[1]
+            a, _, b = spec.partition("-")
+            data = data[int(a): int(b) + 1]
+        return {"Body": io.BytesIO(data)}
+
+    def head_object(self, Bucket: str, Key: str):
+        with self._lock:
+            objs = self._bucket(Bucket)
+            if Key not in objs:
+                raise S3ClientError("NoSuchKey", Key)
+            return {"ContentLength": len(objs[Key])}
 
     def delete_object(self, Bucket: str, Key: str):
         with self._lock:

@@ -1,0 +1,405 @@
+"""Driver-side data-file metadata I/O seam — listings + footer reads.
+
+The commit-time metadata fast paths (`operators/apply._delta_footer_stats`,
+`plans/snapshot_table._file_ts_ranges`) replace per-epoch Spark aggregate
+jobs with parquet FOOTER reads. Two scale problems with doing that through
+bare `glob`/`os.listdir`/`open`:
+
+1. **Remote parity** (r6 verdict #3): on any non-local URI the listing
+   returns nothing, so the zero-job win silently fell back to the Spark
+   job exactly where round-trips cost most (object storage). This module
+   routes listings and footer reads through the same pluggable client
+   surface the CAS commit protocol already uses (`commit_backend` —
+   boto3's `list_objects_v2`/`get_object`/`head_object`; tests inject
+   `FakeS3Client`), so an `s3://` table keeps the footer path.
+2. **Driver serialization** (r6 verdict #1): footer reads were a
+   sequential driver loop — microseconds per file locally, but a
+   round-trip per file on object storage, re-serializing the commit at
+   thousands of touched files. `pmap` runs them on a bounded thread
+   pool: footer reads are I/O-bound (and pyarrow releases the GIL in
+   its C++ reader), so wall stays ~flat as touched-file count grows
+   until the pool saturates. Lake formats collect per-file stats from
+   write tasks; the pool is the driver-side equivalent for a design
+   where Spark owns the data write (measured in
+   scripts/bench_commit_stats.py, recorded in BENCH/BASELINE.md).
+
+`datafs_for(path)` returns None for schemes it cannot serve (hdfs://,
+abfs://, ...) — callers then fall back to the Spark aggregate job, the
+same correctness-never-depends-on-footers contract as before.
+
+S3 reads are RANGED (`get_object(Range="bytes=a-b")` behind a seekable
+file object), so opening a footer fetches kilobytes, not the file.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+_POOL_SIZE = 512
+_pool: ThreadPoolExecutor | None = None
+_pool_lock = threading.Lock()
+
+
+def _shared_pool() -> ThreadPoolExecutor:
+    """Session-lifetime I/O pool, created lazily and REUSED across
+    commits: spawning a thread costs ~0.7 ms on this host, so a
+    per-commit pool of hundreds of threads would cost more than the
+    round-trips it overlaps (measured: 512 pooled 20 ms sleeps took
+    0.34 s on a fresh pool vs the ~0.06 s two waves should). Real
+    drivers amortize their I/O pools the same way boto3 reuses its
+    connection pool."""
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = ThreadPoolExecutor(
+                max_workers=_POOL_SIZE, thread_name_prefix="datafs-io"
+            )
+        return _pool
+
+
+def pmap(fn, items, max_workers: int = 32) -> list:
+    """Map `fn` over `items` concurrently (shared pool, concurrency
+    capped at `max_workers` by a semaphore), preserving order.
+    Sequential fast path for 0/1 items or max_workers<=1 (no pool; local
+    footer reads are ~75 µs of GIL-held CPU, where a pool measured 8×
+    SLOWER than the plain loop — parallel I/O is an FS property, see
+    `DataFS.io_workers`). Exceptions propagate — a corrupt footer must
+    fail the fast path loudly, not silently drop a file's stats."""
+    items = list(items)
+    if len(items) <= 1 or max_workers <= 1:
+        return [fn(x) for x in items]
+    sem = threading.Semaphore(max_workers)
+
+    def gated(x):
+        with sem:
+            return fn(x)
+
+    futures = [_shared_pool().submit(gated, x) for x in items]
+    return [f.result() for f in futures]
+
+
+class DataFS:
+    """Minimal driver-side filesystem surface the metadata fast paths
+    need: list a directory's parquet files, open one for (seekable,
+    ranged) reading. NOT a general filesystem — Spark owns data reads
+    and writes; this exists only so commit-time footer harvesting works
+    on the same stores the commit log does.
+
+    `io_workers` is the FS's OWN parallelism: how many metadata
+    operations callers should run concurrently against it. Local disk
+    footer reads are microseconds of (GIL-held) CPU — a pool only adds
+    overhead, so 1. Object stores are a network round-trip per
+    operation — overlap wide (S3 serves hundreds of concurrent GETs
+    per prefix), which is what keeps a commit's stats phase ~flat as
+    touched-file count grows."""
+
+    io_workers: int = 1
+
+    def list_parquet(self, d: str) -> list[str]:
+        """Full paths of `d`'s immediate *.parquet children, sorted by
+        name. Missing directory → empty list."""
+        raise NotImplementedError
+
+    def list_parquet_tree(self, root: str) -> dict[str, list[str]]:
+        """Every *.parquet under `root`, grouped by the file's dir
+        RELATIVE to root ('' for files directly in root). The
+        commit-path listing primitive: an epoch's delta dir holds
+        `b=N/part-*.parquet` across hundreds of touched buckets, and
+        one NON-DELIMITED object-store LIST returns ~1000 keys per
+        round-trip — per-bucket LISTs cost one round-trip per bucket
+        instead (the shape Delta's _delta_log listing avoids the same
+        way). Default: per-dir `list_parquet` fallback is NOT possible
+        without knowing subdirs, so subclasses implement natively."""
+        raise NotImplementedError
+
+    def open_file(self, path: str):
+        """Seekable binary file-like for `path` (caller closes).
+        Raises FileNotFoundError/OSError on a missing object."""
+        raise NotImplementedError
+
+    def parquet_metadata(self, path: str):
+        """`path`'s parquet FileMetaData (footer only). Default routes
+        through `open_file`; LocalDataFS overrides with the path-string
+        form so pyarrow uses its NATIVE file reader — wrapping a local
+        read in a Python file object forces every byte through
+        GIL-held PythonFile calls, which serialized the thread pool and
+        measured ~7× slower than native on the 512-file fixture."""
+        import pyarrow.parquet as pq
+
+        with self.open_file(path) as fh:
+            return pq.ParquetFile(fh).metadata
+
+    def parquet_metadata_many(
+        self, paths: list[str], max_workers: int | None = None
+    ) -> list:
+        """FileMetaData for every path — THE commit-time entry point.
+        Default maps `parquet_metadata` at the FS's own parallelism;
+        S3DataFS overrides with a two-stage shape (pooled byte FETCH,
+        sequential PARSE) because thrift parsing holds the GIL and
+        CONVOYS under a wide pool (512 pooled parses measured 6×
+        slower than the same parses run serially), while the network
+        fetches overlap perfectly."""
+        return pmap(
+            self.parquet_metadata,
+            paths,
+            max_workers if max_workers is not None else self.io_workers,
+        )
+
+
+class LocalDataFS(DataFS):
+    @staticmethod
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
+    def list_parquet(self, d: str) -> list[str]:
+        d = self._local(d)
+        try:
+            names = sorted(os.listdir(d))
+        except OSError:
+            return []
+        return [
+            os.path.join(d, f) for f in names if f.endswith(".parquet")
+        ]
+
+    def list_parquet_tree(self, root: str) -> dict[str, list[str]]:
+        root = self._local(root)
+        out: dict[str, list[str]] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            pq_files = sorted(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if pq_files:
+                rel = os.path.relpath(dirpath, root)
+                out["" if rel == "." else rel] = pq_files
+        return out
+
+    def open_file(self, path: str):
+        return open(self._local(path), "rb")
+
+    def parquet_metadata(self, path: str):
+        import pyarrow.parquet as pq
+
+        # path-string form: pyarrow's native reader, GIL released
+        return pq.ParquetFile(self._local(path)).metadata
+
+
+class _RangedObjectFile(io.RawIOBase):
+    """Read-only seekable file over an object store's ranged GETs —
+    pyarrow's footer reader seeks to the tail and reads a few small
+    ranges; each `read` here is one `get_object(Range=...)`, so a
+    footer open transfers kilobytes regardless of file size."""
+
+    def __init__(self, client, bucket: str, key: str, size: int):
+        self._client = client
+        self._bucket = bucket
+        self._key = key
+        self._size = int(size)
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        if n <= 0 or self._pos >= self._size:
+            return b""
+        end = min(self._size, self._pos + n) - 1
+        resp = self._client.get_object(
+            Bucket=self._bucket,
+            Key=self._key,
+            Range=f"bytes={self._pos}-{end}",
+        )
+        data = resp["Body"].read()
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:  # RawIOBase protocol
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+
+class S3DataFS(DataFS):
+    """Listings + ranged footer reads over the boto3 client surface —
+    the SAME client object family `S3CasBackend` commits through
+    (`client_factory` hook; tests install `FakeS3Client`), so remote
+    parity is configuration, not code. Thread-safe iff the client is
+    (boto3 clients and FakeS3Client both are)."""
+
+    io_workers: int = 512  # latency-bound KB-sized ranged GETs: overlap
+    # wide (the s5cmd/rclone class of S3 tooling defaults to 256-512
+    # concurrent ops; S3 itself serves 5,500 GET/s per prefix)
+    tail_bytes: int = 128 * 1024  # footer prefetch (typ. footers ≪ this)
+
+    def __init__(self, client):
+        self.client = client
+        self._sizes: dict[str, int] = {}  # filled by list_parquet
+
+    @staticmethod
+    def _split(uri: str) -> tuple[str, str]:
+        rest = uri[5:]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def list_parquet(self, d: str) -> list[str]:
+        bucket, key = self._split(d)
+        prefix = key.rstrip("/") + "/"
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token is not None:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                name = obj["Key"][len(prefix):]
+                # immediate children only (dir semantics, like listdir)
+                if name.endswith(".parquet") and "/" not in name:
+                    uri = f"s3://{bucket}/{obj['Key']}"
+                    out.append(uri)
+                    if "Size" in obj:  # real S3 always includes it —
+                        # saves one HEAD round-trip per footer read
+                        self._sizes[uri] = int(obj["Size"])
+            if not resp.get("IsTruncated"):
+                return sorted(out)
+            token = resp["NextContinuationToken"]
+
+    def list_parquet_tree(self, root: str) -> dict[str, list[str]]:
+        bucket, key = self._split(root)
+        prefix = key.rstrip("/") + "/"
+        out: dict[str, list[str]] = {}
+        token: str | None = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token is not None:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                rel = obj["Key"][len(prefix):]
+                if not rel.endswith(".parquet"):
+                    continue
+                rel_dir, _, _name = rel.rpartition("/")
+                uri = f"s3://{bucket}/{obj['Key']}"
+                out.setdefault(rel_dir, []).append(uri)
+                if "Size" in obj:
+                    self._sizes[uri] = int(obj["Size"])
+            if not resp.get("IsTruncated"):
+                break
+            token = resp["NextContinuationToken"]
+        for v in out.values():
+            v.sort()
+        return out
+
+    def _size_of(self, path: str) -> int:
+        size = self._sizes.get(path)
+        if size is None:
+            bucket, key = self._split(path)
+            size = int(
+                self.client.head_object(Bucket=bucket, Key=key)["ContentLength"]
+            )
+            self._sizes[path] = size
+        return size
+
+    def open_file(self, path: str):
+        bucket, key = self._split(path)
+        return io.BufferedReader(
+            _RangedObjectFile(self.client, bucket, key, self._size_of(path))
+        )
+
+    def _fetch_footer(self, path: str) -> bytes:
+        """The file's footer bytes (incl. the trailing length + magic),
+        via one ranged GET of the last `tail_bytes` — a second GET only
+        when a footer outgrew the prefetch (rare). This is the pure-I/O
+        stage the pool overlaps."""
+        bucket, key = self._split(path)
+        size = self._size_of(path)
+        start = max(0, size - self.tail_bytes)
+        resp = self.client.get_object(
+            Bucket=bucket, Key=key, Range=f"bytes={start}-{size - 1}"
+        )
+        data = resp["Body"].read()
+        if data[-4:] != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file (bad magic)")
+        flen = int.from_bytes(data[-8:-4], "little") + 8
+        if flen > size:
+            raise ValueError(f"{path}: corrupt footer length {flen}")
+        if flen > len(data):  # footer bigger than the prefetch
+            resp = self.client.get_object(
+                Bucket=bucket, Key=key,
+                Range=f"bytes={size - flen}-{size - 1}",
+            )
+            data = resp["Body"].read()
+        return data[-flen:]
+
+    def parquet_metadata_many(
+        self, paths: list[str], max_workers: int | None = None
+    ) -> list:
+        """Two stages: (1) POOLED footer fetches — each is a network
+        round-trip that releases the GIL, so hundreds overlap and the
+        wall stays ~flat in file count until the pool saturates;
+        (2) SEQUENTIAL parses over `pa.BufferReader` — a NATIVE Arrow
+        memory file, so the thrift parse runs at the same ~75 µs/file
+        the local path gets (a Python file object here measured ~4×
+        slower, and a wide pool convoys GIL-held parses 6× slower than
+        this plain loop). pyarrow reads a footer relative to EOF and a
+        metadata-only parse never dereferences row-group offsets, so
+        parsing the footer slice alone is exact."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        footers = pmap(
+            self._fetch_footer,
+            paths,
+            max_workers if max_workers is not None else self.io_workers,
+        )
+        return [
+            pq.ParquetFile(pa.BufferReader(b)).metadata for b in footers
+        ]
+
+    def parquet_metadata(self, path: str):
+        return self.parquet_metadata_many([path], max_workers=1)[0]
+
+
+def datafs_for(path: str) -> DataFS | None:
+    """DataFS for `path`'s scheme, or None when no driver-side client
+    can serve it (callers fall back to the Spark job). `s3://` builds
+    its client exactly like the CAS backend: the `client_factory` hook
+    if installed (tests → FakeS3Client), else boto3."""
+    if "://" not in path:
+        return LocalDataFS()
+    if path.startswith("file://"):
+        return LocalDataFS()
+    if path.startswith("s3://"):
+        from qwatch_spark.plans.commit_backend import S3CasBackend
+
+        if S3CasBackend.client_factory is not None:
+            return S3DataFS(S3CasBackend.client_factory())
+        try:  # pragma: no cover - no boto3/object store in this sandbox
+            import boto3  # type: ignore[import-not-found]
+        except ImportError:
+            return None
+        return S3DataFS(boto3.client("s3"))
+    return None

@@ -923,16 +923,29 @@ class SnapshotTable:
         return new_version
 
     @staticmethod
-    def _file_ts_ranges(d: str) -> dict | None:
+    def _file_ts_ranges(d: str, max_workers: int | None = None) -> dict | None:
         """Per-file warc_ts ranges from parquet FOOTERS for every file
         of dir `d`: {fname: [lo_iso, hi_iso] | None} (None = file has
         rows but no usable range — read it always). Returns None
         overall when any footer lacks the statistics (INT96 history,
         stats disabled) — callers then skip the per-file zone map and
-        keep the coarser dir-level one. Metadata-only: no data read."""
+        keep the coarser dir-level one. Metadata-only, through the
+        `plans/datafs` seam at the FS's own parallelism (local paths:
+        plain native loop; `s3://` via the CAS commit log's pluggable
+        client on a wide thread pool — footer reads are round-trips on
+        object storage, so compaction's zone-map harvest stays flat as
+        the file count grows instead of re-serializing the commit one
+        footer at a time; unknown schemes → None, callers keep the
+        dir-level map)."""
         import datetime as dt
 
-        import pyarrow.parquet as pq
+        from qwatch_spark.plans.datafs import datafs_for
+
+        fs = datafs_for(d)
+        if fs is None:
+            return None
+        if max_workers is None:
+            max_workers = fs.io_workers  # local: sequential; s3: wide
 
         def norm(v):
             if not isinstance(v, dt.datetime):
@@ -941,13 +954,7 @@ class SnapshotTable:
                 v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
             return v
 
-        try:
-            names = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-        except OSError:
-            return None
-        out: dict[str, list | None] = {}
-        for fname in names:
-            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+        def one(md):
             lo = hi = None
             for rg in range(md.num_row_groups):
                 rgm = md.row_group(rg)
@@ -958,12 +965,12 @@ class SnapshotTable:
                         col = c
                         break
                 if col is None:
-                    return None
+                    return "missing"
                 st = col.statistics
                 if st is not None and st.has_min_max:
                     mn, mx = norm(st.min), norm(st.max)
                     if mn is None or mx is None:
-                        return None
+                        return "missing"
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
                 elif (
@@ -973,8 +980,18 @@ class SnapshotTable:
                 ):
                     continue  # all-null chunk contributes no range
                 else:
-                    return None
-            out[fname] = [_ziso(lo), _ziso(hi)] if lo is not None else None
+                    return "missing"
+            return [_ziso(lo), _ziso(hi)] if lo is not None else None
+
+        paths = fs.list_parquet(d)
+        if not paths:
+            return None
+        ranges = [one(md) for md in fs.parquet_metadata_many(paths, max_workers)]
+        out: dict[str, list | None] = {}
+        for path, r in zip(paths, ranges):
+            if r == "missing":
+                return None
+            out[path.rsplit("/", 1)[-1]] = r
         return out
 
     def _delta_bytes(self, b: str, entry: dict) -> int:

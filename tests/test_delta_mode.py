@@ -260,6 +260,114 @@ def test_footer_stats_match_spark_job(spark, tmp_path):
         ), f"bucket {b}: footer {s} != job {dict(w.asDict())}"
 
 
+def test_footer_stats_over_fake_s3_match_local(spark, tmp_path):
+    """r6 verdict #3 (remote parity): the footer fast paths must keep
+    working on an `s3://` table path, routed through the SAME pluggable
+    client surface the CAS commit log uses — not silently fall back to
+    the Spark job exactly where round-trips cost most. Write an epoch
+    locally, mirror its delta files byte-for-byte into the in-repo
+    FakeS3, and both `_delta_footer_stats` and `_file_ts_ranges` must
+    return IDENTICAL results through s3:// (ranged GETs against the
+    fake) as through the local path. Unknown schemes still return None
+    (the Spark-job fallback contract)."""
+    import qwatch_spark.plans.commit_backend as cb
+    from qwatch_spark.operators.apply import _delta_footer_stats
+
+    cfg = PipelineConfig(n_buckets=8, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=8)
+    apply_changes(spark, gen_feed_df(spark, 1500).drop("epoch_hint"), table, 0, cfg)
+    table = SnapshotTable(table.path)
+    tok = None
+    for _b, e in table._entries(None):
+        for d in e["deltas"]:
+            tok = d
+    out = os.path.join(table.path, "data", f"v={tok}")
+    touched = sorted(
+        int(d[2:]) for d in os.listdir(out) if d.startswith("b=")
+    )
+    local = _delta_footer_stats(out, touched)
+    assert local is not None
+
+    old_factory = cb.S3CasBackend.client_factory
+    cb.S3CasBackend.client_factory = cb.FakeS3Client
+    cb.FakeS3Client._buckets.clear()
+    try:
+        client = cb.FakeS3Client()
+        for b in touched:
+            d = os.path.join(out, f"b={b}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(d, f), "rb") as fh:
+                        client.put_object(
+                            Bucket="bkt",
+                            Key=f"tbl/data/v={tok}/b={b}/{f}",
+                            Body=fh.read(),
+                        )
+        remote = _delta_footer_stats(f"s3://bkt/tbl/data/v={tok}", touched)
+        assert remote == local
+        b0 = touched[0]
+        local_rng = SnapshotTable._file_ts_ranges(os.path.join(out, f"b={b0}"))
+        remote_rng = SnapshotTable._file_ts_ranges(
+            f"s3://bkt/tbl/data/v={tok}/b={b0}"
+        )
+        assert remote_rng == local_rng and local_rng is not None
+    finally:
+        cb.S3CasBackend.client_factory = old_factory
+        cb.FakeS3Client._buckets.clear()
+    # scheme nobody serves driver-side -> None -> Spark-job fallback
+    assert _delta_footer_stats("hdfs://nn/tbl/data/v=1", [0]) is None
+    assert SnapshotTable._file_ts_ranges("hdfs://nn/tbl/d/b=0") is None
+
+
+def test_footer_stats_reads_are_pooled_not_sequential(spark, tmp_path, monkeypatch):
+    """r6 verdict #1: footer harvesting must overlap its per-file I/O
+    (object-store round-trips), not run one footer at a time on the
+    driver. Inject 25 ms of latency into every file open over a
+    many-file fixture: the pooled wall must land well under the
+    sequential sum (sequential would be >= n_files * 25 ms)."""
+    import time
+
+    import qwatch_spark.plans.datafs as dfs
+    from qwatch_spark.operators.apply import _delta_footer_stats
+
+    cfg = PipelineConfig(n_buckets=16, write_mode="delta")
+    table = SnapshotTable.create(str(tmp_path / "t"), n_buckets=16)
+    apply_changes(spark, gen_feed_df(spark, 1500).drop("epoch_hint"), table, 0, cfg)
+    table = SnapshotTable(table.path)
+    tok = None
+    for _b, e in table._entries(None):
+        for d in e["deltas"]:
+            tok = d
+    out = os.path.join(table.path, "data", f"v={tok}")
+    touched = sorted(
+        int(d[2:]) for d in os.listdir(out) if d.startswith("b=")
+    )
+    n_files = sum(
+        1
+        for b in touched
+        for f in os.listdir(os.path.join(out, f"b={b}"))
+        if f.endswith(".parquet")
+    )
+    assert n_files >= 12, f"fixture too small ({n_files} files)"
+    delay = 0.025
+    orig_md = dfs.LocalDataFS.parquet_metadata
+
+    def slow_md(self, path):
+        time.sleep(delay)  # one simulated object-store round-trip
+        return orig_md(self, path)
+
+    monkeypatch.setattr(dfs.LocalDataFS, "parquet_metadata", slow_md)
+    t0 = time.monotonic()
+    got = _delta_footer_stats(out, touched, max_workers=64)
+    wall = time.monotonic() - t0
+    assert got is not None
+    sequential = n_files * delay
+    assert wall < sequential * 0.5, (
+        f"{n_files} footer opens at {delay}s latency took {wall:.3f}s — "
+        f"sequential would be {sequential:.3f}s; reads are not pooled"
+    )
+
+
 def test_footer_stats_fallback_commits_identically(spark, tmp_path, monkeypatch):
     """When footer statistics are unavailable (INT96 history, stats
     disabled), the commit must fall back to the Spark aggregate and

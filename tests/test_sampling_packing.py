@@ -4,6 +4,7 @@ nest under rate increases; the distributed prefix sum must agree with a
 driver-side reference on adversarial inputs and never plan a
 single-partition global sort."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from qwatch_spark.operators.sampling import (
@@ -252,11 +253,16 @@ def test_dense_rank_remap_is_global_sort_position(spark):
     assert dense_rank_remap(empty, "k").count() == 0
 
 
-def test_pack_sequences_via_rank_remap_on_zipfian_key(spark):
+@pytest.mark.parametrize("spill", [False, True])
+def test_pack_sequences_via_rank_remap_on_zipfian_key(spark, tmp_path, spill):
     """The paved path for skewed order keys: remap → pack on the rank.
     Same chunk-full/gap-free invariants as the dense-id layout test,
     and the token stream is laid out in ORIGINAL key order (rank
-    preserves it)."""
+    preserves it). The `spill=True` arm (r6 verdict #6) routes the
+    remap's pin through a parquet `work_dir` round-trip instead of
+    localCheckpoint and asserts NOTHING is pinned in executor block
+    storage — the 100-TB shape, where checkpointing the whole ranked
+    frame to executor memory/disk is the wrong primitive."""
     from qwatch_spark.operators.sampling import dense_rank_remap
 
     # zipfian-gapped doc ids: huge value gaps, dense hotspot
@@ -264,7 +270,18 @@ def test_pack_sequences_via_rank_remap_on_zipfian_key(spark):
     docs = spark.createDataFrame(
         [(i, "tok " * (1 + i % 400)) for i in ids], "doc_id long, text string"
     )
-    remapped = dense_rank_remap(docs, "doc_id", out_col="rk")
+    if spill:
+        jsc = spark.sparkContext._jsc.sc()
+        before = len(jsc.getRDDStorageInfo())
+        remapped = dense_rank_remap(
+            docs, "doc_id", out_col="rk", work_dir=str(tmp_path / "spill")
+        )
+        remapped.count()  # materialize through the spilled path
+        assert len(jsc.getRDDStorageInfo()) == before, (
+            "work_dir spill must not pin anything in executor storage"
+        )
+    else:
+        remapped = dense_rank_remap(docs, "doc_id", out_col="rk")
     out = pack_sequences(remapped, seq_len=256, order_col="rk").collect()
     assert len(out) == len(ids)
     by_rank = sorted(out, key=lambda r: r["rk"])
