@@ -115,6 +115,52 @@ def _ivf_probe_batch(spark, sf_dir, n_queries: int = 32):
     )
 
 
+def _ivf_maintain(spark, sf_dir):
+    """Maintenance-cadence IVF recluster (r7): build on 1/4 of the
+    embeddings, grow 4× by appends against the frozen codebook (cells
+    bloat 4×, off the clock), then time `ivf_maintain` — the O(n)
+    rebuild + versioned pointer swap that restores per-probe cost.
+    Each timed call reclusters the SAME corpus into the next version
+    (identical work), so the warm/timed protocol is well-defined."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_maintain,
+    )
+
+    if not hasattr(_ivf_maintain, "path"):
+        _ivf_maintain.path = tempfile.mkdtemp(
+            prefix="qwatch_bench_ivfm_", dir=_fast_dir()
+        )
+        emb = q.ld(spark, sf_dir, "embeddings")
+        n = emb.count()
+        ivf_build_index(
+            emb.filter(F.col("vec_id") < n // 4),
+            _ivf_maintain.path,
+            n_cells=max(2, int(round((n // 4) ** 0.5))),
+        )
+        ivf_index_append(
+            emb.filter(F.col("vec_id") >= n // 4), _ivf_maintain.path
+        )
+    # max_literals=1 forces the Arrow-batched pandas assign — the path
+    # real corpus sizes take anyway (√n cells × dim blows the literal
+    # budget), and it avoids re-paying a 22-cell literal argmax tree's
+    # codegen on every timed call (measured: 15.2 s literal vs 9.6 s
+    # pandas on the identical recluster)
+    out = ivf_maintain(
+        spark, _ivf_maintain.path, lloyd_iters=1, max_literals=1
+    )
+    _ivf_maintain.stats = {
+        "ivf_maintain_rows": out["n"],
+        "ivf_maintain_cells": f"{out['n_cells_old']}->{out['n_cells_new']}",
+    }
+    return spark.range(1)  # the maintain itself is eager; nothing to force
+
+
 def _dedup_canonical(spark, sf_dir):
     """Cluster-canonical selection timed SEPARATELY from pair
     generation: connected components over a precomputed (cached) pair
@@ -252,6 +298,7 @@ EXTRA_BENCH = {
 # force(), or the measured window would miss the actual work.
 EAGER_BENCH = {
     "dedup_canonical_500docs": _dedup_canonical,
+    "ivf_maintain_recluster": _ivf_maintain,
 }
 
 
@@ -588,17 +635,33 @@ def main() -> None:
 
     registry = q.queries()
     timings: dict[str, float] = {}
-    for name, fn in [(n, registry[n]) for n in HEADLINE] + list(EXTRA_BENCH.items()):
-        df = fn(spark, sf_dir)
-        force(df)  # warm (read/plan caches)
-        t0 = time.time()
-        force(df)
-        timings[name] = round(time.time() - t0, 3)
+    # r6 verdict #5: headline/EXTRA entries were a single timed force,
+    # inheriting this host's 2.5× window noise into BENCH_rN.json. Now
+    # interleaved best-of-N (default 3, like the _Bench classes): every
+    # arm samples each noise window, min is reported, trials published.
+    op_trials = int(os.environ.get("QWATCH_BENCH_OP_TRIALS", "3"))
+    lazy = [(n, registry[n]) for n in HEADLINE] + list(EXTRA_BENCH.items())
+    dfs = {}
+    for name, fn in lazy:
+        dfs[name] = fn(spark, sf_dir)
+        force(dfs[name])  # warm (read/plan caches)
     for name, fn in EAGER_BENCH.items():
         force(fn(spark, sf_dir))  # warm
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    op_trial_walls: dict[str, list[float]] = {
+        name: [] for name, _fn in lazy
+    }
+    op_trial_walls.update({name: [] for name in EAGER_BENCH})
+    for _ in range(op_trials):
+        for name, _fn in lazy:
+            t0 = time.time()
+            force(dfs[name])
+            op_trial_walls[name].append(round(time.time() - t0, 3))
+        for name, fn in EAGER_BENCH.items():
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            op_trial_walls[name].append(round(time.time() - t0, 3))
+    for name, walls in op_trial_walls.items():
+        timings[name] = min(walls)
 
     n_stream = int(os.environ.get("QWATCH_BENCH_STREAM_EVENTS", "500000"))
     n_entity = int(os.environ.get("QWATCH_BENCH_ENTITY_EVENTS", "1000000"))
@@ -632,11 +695,14 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "bench_trials": n_trials,
+        "op_trials": op_trials,
+        "query_trials": op_trial_walls,
         **cdc,
         **stream,
         **entity,
         **estream,
         **getattr(_lsh_pairs_realistic, "stats", {}),
+        **getattr(_ivf_maintain, "stats", {}),
     }
     spark.stop()
     print(json.dumps(out))

@@ -475,6 +475,13 @@ def ivf_build_index(
         f"cell bigint, {vec_col} array<double>",
     )
     seed_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
+    # a fresh build at this path supersedes any prior versioned index:
+    # drop a stale `_current` pointer so probes resolve the new flat
+    # layout (ivf_maintain versions it again from here)
+    try:
+        os.remove(os.path.join(path, "_current"))
+    except OSError:
+        pass
 
 
 def ivf_params_for(
@@ -528,7 +535,8 @@ def ivf_probe_topk(
     query arrives as a VECTOR (the ANN-serving shape); pass
     `exclude_id` to drop a known corpus row (self-match)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    data, _v = _ivf_current(path)
+    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
@@ -539,7 +547,7 @@ def ivf_probe_topk(
     # stable tie-break toward the lower cell id, like ivf_assign
     order = np.lexsort((cells, -np.round(sims, 9)))
     probe = [int(c) for c in cells[order][:n_probe]]
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    idx = spark.read.parquet(data).filter(F.col("cell").isin(probe))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -615,10 +623,11 @@ def ivf_probe_topk_batch(
     query's id — the batch form of `exclude_id=qid`. An empty batch
     returns an empty schema-identical frame; batches over `max_batch`
     raise (see `_batch_probe_guard` — chunk and union, it's exact)."""
-    empty = _batch_probe_guard(spark, path, queries, max_batch, id_col)
+    data, _v = _ivf_current(path)
+    empty = _batch_probe_guard(spark, data, queries, max_batch, id_col)
     if empty is not None:
         return empty
-    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
@@ -642,7 +651,7 @@ def ivf_probe_topk_batch(
         rows, "query_id long, cell int, qvec array<double>"
     )
     probe_cells = sorted({c for _qid, c, _qv in rows})
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    idx = spark.read.parquet(data).filter(F.col("cell").isin(probe_cells))
     cand = idx.select("cell", id_col, vec_col).join(
         F.broadcast(qdf), ["cell"]
     )
@@ -1008,12 +1017,50 @@ def cosine_near_dup_pairs(
     )
 
 
+class IndexConflictError(RuntimeError):
+    """An index mutation raced a concurrent maintenance swap (or a
+    rival maintainer): the work landed against a superseded codebook
+    version. Retryable — re-invoke and the operation rebases on the
+    current version. Typed (never match on message substrings), like
+    the table's CommitConflictError."""
+
+
+def _ivf_current(path: str) -> tuple[str, int]:
+    """Resolve an IVF index's CURRENT data dir: `path/_current` (json
+    `{"version": K}`) points at `path/v=K`; no pointer = the legacy
+    flat layout (data directly under `path`, version -1). The pointer
+    is the index's visibility linearization point — `ivf_maintain`
+    writes a complete new version dir BEFORE atomically swapping the
+    pointer (write-before-publish, the fp_bloom rebuild discipline), so
+    a probe or append that resolved the old version keeps a fully
+    intact dir under it until `ivf_vacuum` retires it."""
+    import json
+
+    try:
+        with open(os.path.join(path, "_current")) as fh:
+            v = int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError):
+        return path, -1
+    return os.path.join(path, f"_v{v}"), v
+
+
+def _ivf_swap_current(path: str, version: int) -> None:
+    import json
+    import uuid
+
+    tmp = os.path.join(path, f".current-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": int(version)}, fh)
+    os.replace(tmp, os.path.join(path, "_current"))  # atomic publish
+
+
 def ivf_index_append(
     vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_literals: int = 4096,
+    dedup_against_index: bool = False,
 ) -> int:
     """Incrementally add vectors to a built IVF index (the CDC story
     for embeddings): assign the batch against the index's FROZEN
@@ -1026,10 +1073,20 @@ def ivf_index_append(
     both copies visible to probes). Updating/deleting vectors composes
     the same way the snapshot table handles rows — a latest-wins read
     or a periodic rebuild at maintenance cadence; at 10⁹ vectors an
-    append is O(batch) against a √n-cell layout while a rebuild is the
-    O(n) maintenance job."""
+    append is O(batch) against a √n-cell layout while the rebuild is
+    `ivf_maintain`'s O(n) job. If a maintenance swap lands DURING the
+    append, the batch was quantized against (and written into) the
+    superseded version — the post-write version check raises the
+    typed `IndexConflictError`. RETRY with `dedup_against_index=True`:
+    depending on where the swap landed relative to this append's write,
+    the maintainer may have already carried the batch into the new
+    version (its pinned snapshot or its post-swap delta fold), so a
+    blind re-append could duplicate; the flag anti-joins the batch
+    against the current index's ids first (one id-column scan — paid
+    only on the rare conflict path, keeping the normal append O(batch))."""
     spark = vectors.sparkSession
-    seed_rows = spark.read.parquet(f"{path}/_seeds").collect()
+    data, v0 = _ivf_current(path)
+    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     seeds = sorted(
@@ -1039,6 +1096,10 @@ def ivf_index_append(
     assign = (
         _assign_literal if len(seeds) * dim <= max_literals else _assign_pandas
     )
+    if dedup_against_index:
+        vectors = vectors.join(
+            spark.read.parquet(data).select(id_col), id_col, "left_anti"
+        )
     assigned = assign(vectors, seeds, id_col, vec_col)
     n = assigned.count()
     if n:
@@ -1046,6 +1107,177 @@ def ivf_index_append(
             assigned.repartition(len(seeds), "cell")
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(path)
+            .parquet(data)
+        )
+    if _ivf_current(path)[1] != v0:
+        raise IndexConflictError(
+            f"ivf_index_append({path}): a maintenance swap superseded "
+            f"version {v0} mid-append — retry with "
+            "dedup_against_index=True (the maintainer may have carried "
+            "part of this batch forward already)"
         )
     return int(n)
+
+
+def ivf_maintain(
+    spark,
+    path: str,
+    target_cell_rows: int | None = None,
+    n_cells: int | None = None,
+    lloyd_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literals: int = 4096,
+) -> dict:
+    """Recluster a grown IVF index against its CURRENT corpus — the
+    maintenance-cadence answer to codebook drift (r6 verdict #2):
+    `ivf_index_append` quantizes every batch against the build-time
+    `_seeds` snapshot, so under sustained growth cells bloat (per-probe
+    rows grow linearly in corpus size) and drift away from the data's
+    actual distribution (recall decays). This is the ANN family's
+    analog of the fp_bloom rebuild: ONE O(n) scan of the index at
+    maintenance cadence, never on the append path.
+
+    Sizing: `n_cells` wins if given; else `n / target_cell_rows`
+    (restore a chosen per-cell row count — pass the build-time cell
+    size to bring per-probe cost back to build-time levels exactly);
+    else the √n rule (`ivf_params_for`). The codebook re-derives with
+    the same deterministic medoid seeding + `lloyd_iters` refinement
+    the build uses, over the CURRENT corpus.
+
+    Visibility/concurrency (the fp_bloom discipline, adapted):
+      - the rebuild's input is a pinned FILE SNAPSHOT of the old
+        version (explicit part-file list, not a dir read), so the
+        rebuild and the fold below reason about exactly what was read;
+      - the new version dir `path/_vK` is written COMPLETELY (cells,
+        `_seeds`) before the `_current` pointer swaps to it atomically
+        (`os.replace`) — a reader that resolved the old version keeps a
+        fully intact dir;
+      - a rival maintainer is excluded by the version-dir claim
+        (mkdir is the CAS: FileExistsError → typed
+        `IndexConflictError`, rebase and retry next cycle);
+      - appends that COMMITTED into the old version during the rebuild
+        (wrote + passed their version check before the swap) are not
+        lost: after the swap, the old version's part files NOT in the
+        pinned snapshot — the delta — are folded into the new version,
+        anti-joined on `id_col` against what the new version already
+        holds. The anti-join is what makes EVERY interleaving safe: an
+        append whose post-write check saw the swap raises
+        `IndexConflictError` and retries against the new codebook, and
+        if its dead files also land in the fold window the anti-join
+        drops them (ids are unique by the append-only contract), so
+        retry-after-conflict can never duplicate;
+      - after the swap no append can succeed into the old version (its
+        post-write check necessarily runs after the swap), so ONE fold
+        round suffices;
+      - superseded version dirs are retired by `ivf_vacuum` under a
+        retention window, never here — a long probe may still be
+        reading them.
+
+    Returns {"old_version", "new_version", "n", "n_cells_old",
+    "n_cells_new", "folded"}. Local-filesystem pointer ops, like the
+    fp_bloom index (an object-store port would CAS the pointer through
+    commit_backend, same as the table manifest)."""
+    import glob as _glob
+    import math
+
+    data, v0 = _ivf_current(path)
+
+    def cell_files() -> set[str]:
+        return set(_glob.glob(os.path.join(data, "cell=*", "*.parquet")))
+
+    old_seeds = spark.read.parquet(f"{data}/_seeds").collect()
+    files0 = cell_files()
+    if not files0:
+        raise ValueError(f"IVF index at {path} has no data files")
+    # partition dirs carry `cell`; reading explicit part files yields
+    # just (id, embedding) — the rebuild re-derives cells anyway
+    corpus = spark.read.parquet(*sorted(files0)).select(id_col, vec_col)
+    n = corpus.count()
+    if n_cells is None:
+        if target_cell_rows is not None:
+            n_cells = max(1, round(n / max(1, int(target_cell_rows))))
+        else:
+            n_cells = max(1, int(round(math.sqrt(n))))
+    new_v = v0 + 1
+    vdir = os.path.join(path, f"_v{new_v}")
+    try:
+        os.makedirs(vdir, exist_ok=False)  # the rival-maintainer CAS
+    except FileExistsError:
+        raise IndexConflictError(
+            f"ivf_maintain({path}): version {new_v} already claimed by "
+            "a rival maintainer; rebase on the new current and retry"
+        ) from None
+    ivf_build_index(
+        corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        max_literals=max_literals, lloyd_iters=lloyd_iters,
+    )
+    _ivf_swap_current(path, new_v)  # publish: probes/appends flip here
+    folded = 0
+    delta = cell_files() - files0  # appends that landed mid-rebuild
+    if delta:
+        new_rows = (
+            spark.read.parquet(*sorted(delta))
+            .select(id_col, vec_col)
+            .join(
+                spark.read.parquet(vdir).select(id_col),
+                id_col,
+                "left_anti",
+            )
+        )
+        # current now resolves to new_v, so this quantizes against the
+        # NEW codebook and its own version check cannot conflict
+        folded = ivf_index_append(
+            new_rows, path, id_col=id_col, vec_col=vec_col,
+            max_literals=max_literals,
+        )
+    return {
+        "old_version": v0,
+        "new_version": new_v,
+        "n": int(n),
+        "n_cells_old": len(old_seeds),
+        "n_cells_new": int(n_cells),
+        "folded": int(folded),
+    }
+
+
+def ivf_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
+    """Delete SUPERSEDED IVF version dirs (and the legacy flat layout's
+    root cell dirs once a versioned current exists) whose tree has been
+    quiet for `retention_s` — the retention window is what keeps a
+    probe that resolved the old version mid-swap safe, exactly like the
+    table vacuum. Returns the removed paths."""
+    import re
+    import shutil
+    import time as _time
+
+    _data, cur = _ivf_current(path)
+    if cur < 0:
+        return []  # nothing versioned yet — nothing is superseded
+    removed = []
+    now = _time.time()
+
+    def tree_mtime(d: str) -> float:
+        mt = os.path.getmtime(d)
+        for root, _dirs, files in os.walk(d):
+            mt = max(mt, os.path.getmtime(root))
+            for f in files:
+                try:
+                    mt = max(mt, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    pass
+        return mt
+
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        m = re.fullmatch(r"_v(\d+)", name)
+        legacy = name.startswith("cell=") or name == "_seeds"
+        if m and int(m.group(1)) >= cur:
+            continue
+        if not (m or legacy) or not os.path.isdir(full):
+            continue
+        if now - tree_mtime(full) < retention_s:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    return removed

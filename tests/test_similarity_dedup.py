@@ -2,6 +2,7 @@
 harness: fast-vs-exact cosine agreement, LSH recall vs brute force,
 simhash hamming locality sanity."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -735,6 +736,296 @@ def test_ivf_params_for_shape():
         ivf_params_for(1000, 0.0)
     with pytest.raises(ValueError):
         ivf_params_for(1000, 1.5)
+
+
+def _clustered_corpus(spark, n, dim=16, n_clusters=96, seed=5):
+    """Deterministic clustered embeddings (the realistic ANN corpus
+    shape — uniform fixtures can't show codebook drift because nothing
+    clusters): `n_clusters` Gaussian centers, members tightly around
+    them, ids round-robin over clusters so any prefix covers most
+    clusters."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (n_clusters, dim))
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in centers[i % n_clusters]
+                + rng.normal(0.0, 0.05, dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _ivf_state(spark, path):
+    """(n_rows, n_cells) of the index's CURRENT version."""
+    from qwatch_spark.operators.similarity import _ivf_current
+
+    data, _v = _ivf_current(path)
+    n = spark.read.parquet(data).count()
+    cells = spark.read.parquet(f"{data}/_seeds").count()
+    return n, cells
+
+
+def _recall_at10(spark, path, rows, qids, n_probe):
+    from qwatch_spark.operators.similarity import ivf_probe_topk_batch
+
+    vecs = {i: np.asarray(v) for i, v in rows}
+    got = ivf_probe_topk_batch(
+        spark, path, [(q, list(vecs[q])) for q in qids], k=10,
+        n_probe=n_probe, exclude_query_id=True,
+    ).collect()
+    by_q: dict[int, list[int]] = {q: [] for q in qids}
+    for r in got:
+        by_q[int(r["query_id"])].append(int(r["vec_id"]))
+    mat = np.asarray([v for _i, v in rows])
+    ids = np.asarray([i for i, _v in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    hits = total = 0
+    for q in qids:
+        sims = (mat @ vecs[q]) / (norms * np.linalg.norm(vecs[q]))
+        order = np.argsort(-np.round(sims, 9), kind="stable")
+        truth = [int(ids[j]) for j in order if int(ids[j]) != q][:10]
+        hits += len(set(truth) & set(by_q[q]))
+        total += 10
+    return hits / total
+
+
+def test_ivf_maintain_restores_probe_cost_and_recall(spark, tmp_path):
+    """r6 verdict #2: appends quantize against the frozen build-time
+    codebook, so 10× growth bloats cells 10× (per-probe rows grow
+    linearly — the one unbounded-horizon weakness in the ANN family).
+    `ivf_maintain` reclusters at maintenance cadence behind a versioned
+    pointer swap: per-probe row count must return to ~build-time
+    levels, and probe recall@10 (vs numpy ground truth) must hold."""
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_maintain,
+    )
+
+    n0, n1 = 120, 1200
+    rows, df = _clustered_corpus(spark, n1)
+    path = str(tmp_path / "ivf")
+    build_cells = 11  # ≈ √120: build-time cell ≈ 11 rows
+    ivf_build_index(
+        df.filter(F.col("vec_id") < n0), path, n_cells=build_cells,
+        lloyd_iters=5,
+    )
+    for lo in range(n0, n1, 360):
+        ivf_index_append(
+            df.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 360)
+            ),
+            path,
+        )
+    n_probe = 3
+    qids = [7, 131, 555, 700, 999, 1100]
+    n_b, cells_b = _ivf_state(spark, path)
+    assert (n_b, cells_b) == (n1, build_cells)
+    cost_grown = n_probe * n_b / cells_b  # ≈ 10× the build-time cost
+    recall_grown = _recall_at10(spark, path, rows, qids, n_probe)
+
+    out = ivf_maintain(
+        spark, path, target_cell_rows=round(n0 / build_cells)
+    )
+    assert out["old_version"] == -1 and out["new_version"] == 0
+    assert out["n"] == n1 and out["folded"] == 0
+    n_a, cells_a = _ivf_state(spark, path)
+    assert n_a == n1, "maintain must preserve every vector"
+    cost_after = n_probe * n_a / cells_a
+    build_cost = n_probe * n0 / build_cells
+    assert cost_after <= 2 * build_cost, (
+        f"per-probe rows {cost_after:.0f} not restored to ~build-time "
+        f"{build_cost:.0f} (grown: {cost_grown:.0f})"
+    )
+    assert cost_grown / cost_after >= 5, "maintenance barely helped"
+    recall_after = _recall_at10(spark, path, rows, qids, n_probe)
+    assert recall_after >= 0.9, f"recall degraded to {recall_after}"
+    assert recall_after >= recall_grown - 0.05, (
+        f"recall {recall_grown} -> {recall_after}"
+    )
+
+
+def test_ivf_append_conflict_is_typed_and_retry_dedups(
+    spark, tmp_path, monkeypatch
+):
+    """An append racing a maintenance swap must fail with the typed
+    IndexConflictError (not silently vanish into the dead version), and
+    the prescribed retry (`dedup_against_index=True`) must be
+    duplicate-free even when the maintainer already carried the batch
+    forward (the nastiest interleaving: write → maintain pins the
+    files → swap → version check fires)."""
+    import qwatch_spark.operators.similarity as sim
+
+    rows, df = _clustered_corpus(spark, 140)
+    path = str(tmp_path / "ivf")
+    ivf = sim
+    ivf.ivf_build_index(df.filter(F.col("vec_id") < 100), path, n_cells=8)
+    batch = df.filter(F.col("vec_id") >= 100)
+
+    real = sim._ivf_current
+    state = {"calls": 0}
+
+    def racing(p):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # between this append's write and its version check, a
+            # maintainer (which pinned files AFTER the write, so the
+            # batch is already in its rebuild) swaps the pointer
+            ivf.ivf_maintain(spark, p, n_cells=8, lloyd_iters=0)
+        return real(p)
+
+    monkeypatch.setattr(sim, "_ivf_current", racing)
+    with pytest.raises(sim.IndexConflictError, match="dedup_against_index"):
+        ivf.ivf_index_append(batch, path)
+    monkeypatch.undo()
+
+    # retry per the contract: anti-joined, so nothing duplicates
+    n = ivf.ivf_index_append(batch, path, dedup_against_index=True)
+    assert n == 0, "maintainer had carried the batch; retry must no-op"
+    data, v = sim._ivf_current(path)
+    assert v == 0
+    got = spark.read.parquet(data).groupBy("vec_id").count()
+    assert got.filter(F.col("count") > 1).count() == 0, "duplicate ids"
+    assert got.count() == 140, "batch lost"
+
+
+def test_ivf_maintain_rival_claim_and_vacuum(spark, tmp_path):
+    """Two maintainers: the version-dir mkdir is the CAS — the loser
+    gets the typed conflict and nothing is corrupted. ivf_vacuum
+    retires superseded versions (and the legacy flat layout) only past
+    the retention window."""
+    import os as _os
+
+    from qwatch_spark.operators.similarity import (
+        IndexConflictError,
+        ivf_build_index,
+        ivf_maintain,
+        ivf_probe_topk,
+        ivf_vacuum,
+    )
+
+    rows, df = _clustered_corpus(spark, 150)
+    path = str(tmp_path / "ivf")
+    ivf_build_index(df, path, n_cells=8)
+    _os.makedirs(_os.path.join(path, "_v0"))  # rival already claimed it
+    with pytest.raises(IndexConflictError, match="rival"):
+        ivf_maintain(spark, path, n_cells=12)
+    _os.rmdir(_os.path.join(path, "_v0"))
+    out = ivf_maintain(spark, path, n_cells=12)
+    assert out["new_version"] == 0
+    # legacy layout still on disk (a mid-swap reader may hold it) ...
+    assert any(d.startswith("cell=") for d in _os.listdir(path))
+    assert ivf_vacuum(path, retention_s=3600) == []  # inside retention
+    removed = ivf_vacuum(path, retention_s=0)
+    assert removed, "superseded legacy dirs must be vacuumed"
+    assert not any(d.startswith("cell=") for d in _os.listdir(path))
+    # ... and the current version still serves
+    q = rows[3][1]
+    got = ivf_probe_topk(spark, path, q, k=3, n_probe=12).collect()
+    assert int(got[0]["vec_id"]) == 3
+
+
+def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
+    """The r6 stress test's discipline extended to maintenance: an
+    appender (retrying typed conflicts with the dedup flag), two
+    probers, and a MAINTAINER reclustering mid-traffic. Every probe
+    must succeed against a fully intact version; after the dust
+    settles, every vector is present exactly once and findable."""
+    import random
+    import threading
+
+    import qwatch_spark.operators.similarity as sim
+
+    rows, df = _clustered_corpus(spark, 480, n_clusters=48)
+    vecs = {i: v for i, v in rows}
+    path = str(tmp_path / "ivf")
+    sim.ivf_build_index(df.filter(F.col("vec_id") < 60), path, n_cells=7)
+
+    committed = list(range(60))
+    lock = threading.Lock()
+    errors: list = []
+    stop = threading.Event()
+    probes_done = [0]
+    maintains_done = [0]
+
+    def appender():
+        try:
+            for lo in range(60, 480, 60):
+                batch = df.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 60)
+                )
+                for attempt in range(8):
+                    try:
+                        sim.ivf_index_append(
+                            batch, path, dedup_against_index=attempt > 0
+                        )
+                        break
+                    except sim.IndexConflictError:
+                        continue
+                else:
+                    raise RuntimeError("append conflicted 8x running")
+                with lock:
+                    committed.extend(range(lo, lo + 60))
+        except Exception as e:
+            errors.append(("append", repr(e)))
+        finally:
+            stop.set()
+
+    def maintainer():
+        try:
+            while not stop.is_set():
+                try:
+                    sim.ivf_maintain(spark, path, lloyd_iters=1)
+                    maintains_done[0] += 1
+                except sim.IndexConflictError:
+                    pass  # rival claim — rebase next cycle
+        except Exception as e:
+            errors.append(("maintain", repr(e)))
+
+    def prober(seed):
+        rnd = random.Random(seed)
+        try:
+            while not stop.is_set() or probes_done[0] < 4:
+                with lock:
+                    q = rnd.choice(committed)
+                got = sim.ivf_probe_topk(
+                    spark, path, vecs[q], k=3, n_probe=4
+                ).collect()
+                assert got, f"probe {q} empty"
+                probes_done[0] += 1
+                if probes_done[0] > 30:
+                    break
+        except Exception as e:
+            errors.append(("probe", repr(e)))
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=maintainer),
+        threading.Thread(target=prober, args=(3,)),
+        threading.Thread(target=prober, args=(17,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert maintains_done[0] >= 1, "maintainer never completed a cycle"
+    # final state: every id exactly once, regardless of interleaving
+    data, _v = sim._ivf_current(path)
+    got = spark.read.parquet(data).groupBy("vec_id").count()
+    assert got.filter(F.col("count") > 1).count() == 0, "duplicates"
+    assert got.count() == 480, "lost vectors"
+    top = sim.ivf_probe_topk(
+        spark, path, vecs[433], k=1, n_probe=6, exclude_id=None
+    ).collect()
+    assert int(top[0]["vec_id"]) == 433
 
 
 @pytest.mark.parametrize("kind", ["lsh", "ivf"])
