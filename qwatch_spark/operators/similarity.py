@@ -535,7 +535,7 @@ def ivf_probe_topk(
     query arrives as a VECTOR (the ANN-serving shape); pass
     `exclude_id` to drop a known corpus row (self-match)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    data, _v = _ivf_current(path)
+    data, _v = _idx_current(path)
     seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
@@ -623,7 +623,7 @@ def ivf_probe_topk_batch(
     query's id — the batch form of `exclude_id=qid`. An empty batch
     returns an empty schema-identical frame; batches over `max_batch`
     raise (see `_batch_probe_guard` — chunk and union, it's exact)."""
-    data, _v = _ivf_current(path)
+    data, _v = _idx_current(path)
     empty = _batch_probe_guard(spark, data, queries, max_batch, id_col)
     if empty is not None:
         return empty
@@ -760,23 +760,50 @@ def lsh_index_append(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    dedup_against_index: bool = False,
+) -> int:
     """O(batch) index growth: hash ONLY the new vectors with the
-    persisted `_params` hyperplanes and append them into their
-    (band, bucket) directories — no rebuild, no touch of existing
-    files, immediately probe-visible (mirrors ivf_index_append)."""
-    n_planes, n_bands, dim, seed = _lsh_index_params(
-        new_vectors.sparkSession, path
-    )
+    persisted `_params` hyperplanes and append them into the CURRENT
+    version's (band, bucket) directories — no rebuild, no touch of
+    existing files, immediately probe-visible (mirrors
+    ivf_index_append). Returns the number of (vector, band) rows
+    written. If a compaction swap (`lsh_maintain`) lands mid-append the
+    post-write version check raises the typed `IndexConflictError`;
+    RETRY with `dedup_against_index=True`, which anti-joins the batch
+    against the current index on (id, band) — id alone would be wrong:
+    a torn append can land HALF its band files inside the maintainer's
+    pinned snapshot, and an id-level dedup would then permanently drop
+    the missing bands (silent recall loss)."""
+    spark = new_vectors.sparkSession
+    n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
+    data, v0 = _idx_current(path)
     bucketed = lsh_rand_buckets(
         new_vectors, n_planes, n_bands, dim, seed, id_col, vec_col
     )
-    (
-        bucketed.repartition("band", "bucket")
-        .write.mode("append")
-        .partitionBy("band", "bucket")
-        .parquet(path)
-    )
+    if dedup_against_index:
+        bucketed = bucketed.join(
+            spark.read.parquet(data).select(id_col, "band"),
+            [id_col, "band"],
+            "left_anti",
+        )
+    n = bucketed.count()
+    if n:
+        (
+            bucketed.repartition("band", "bucket")
+            .write.mode("append")
+            .partitionBy("band", "bucket")
+            .parquet(data)
+        )
+    if n and _idx_current(path)[1] != v0:
+        # zero-row appends (a dedup retry fully covered by the fold)
+        # wrote nothing and cannot lose anything — see ivf_index_append
+        raise IndexConflictError(
+            f"lsh_index_append({path}): a compaction swap superseded "
+            f"version {v0} mid-append — retry with "
+            "dedup_against_index=True (the maintainer may have carried "
+            "part of this batch forward already)"
+        )
+    return int(n)
 
 
 def _lsh_query_buckets(
@@ -862,7 +889,8 @@ def lsh_probe_topk(
     for band, bucket in qb:
         c = (F.col("band") == band) & (F.col("bucket") == bucket)
         pred = c if pred is None else pred | c
-    idx = spark.read.parquet(path).filter(pred)
+    data, _v = _idx_current(path)
+    idx = spark.read.parquet(data).filter(pred)
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     cand = idx.select(id_col, vec_col).dropDuplicates([id_col])
@@ -921,7 +949,8 @@ def lsh_probe_topk_batch(
     An empty batch returns an empty schema-identical frame; batches
     over `max_batch` raise (see `_batch_probe_guard` — chunk and
     union, it's exact)."""
-    empty = _batch_probe_guard(spark, path, queries, max_batch, id_col)
+    data, _v = _idx_current(path)
+    empty = _batch_probe_guard(spark, data, queries, max_batch, id_col)
     if empty is not None:
         return empty
     n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
@@ -949,7 +978,7 @@ def lsh_probe_topk_batch(
             sorted(by_band[band])
         )
         pred = c if pred is None else pred | c
-    idx = spark.read.parquet(path).filter(pred)
+    idx = spark.read.parquet(data).filter(pred)
     cand = idx.select("band", "bucket", id_col, vec_col).join(
         F.broadcast(qdf), ["band", "bucket"]
     )
@@ -1025,7 +1054,7 @@ class IndexConflictError(RuntimeError):
     the table's CommitConflictError."""
 
 
-def _ivf_current(path: str) -> tuple[str, int]:
+def _idx_current(path: str) -> tuple[str, int]:
     """Resolve an IVF index's CURRENT data dir: `path/_current` (json
     `{"version": K}`) points at `path/v=K`; no pointer = the legacy
     flat layout (data directly under `path`, version -1). The pointer
@@ -1044,7 +1073,7 @@ def _ivf_current(path: str) -> tuple[str, int]:
     return os.path.join(path, f"_v{v}"), v
 
 
-def _ivf_swap_current(path: str, version: int) -> None:
+def _idx_swap_current(path: str, version: int) -> None:
     import json
     import uuid
 
@@ -1085,7 +1114,7 @@ def ivf_index_append(
     against the current index's ids first (one id-column scan — paid
     only on the rare conflict path, keeping the normal append O(batch))."""
     spark = vectors.sparkSession
-    data, v0 = _ivf_current(path)
+    data, v0 = _idx_current(path)
     seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
@@ -1109,7 +1138,12 @@ def ivf_index_append(
             .partitionBy("cell")
             .parquet(data)
         )
-    if _ivf_current(path)[1] != v0:
+    if n and _idx_current(path)[1] != v0:
+        # n == 0 wrote nothing, so a concurrent swap cannot have lost
+        # anything — the common shape of a dedup retry whose rows the
+        # maintainer's fold already carried; returning cleanly is what
+        # makes retry-under-repeated-swaps terminate (each retry only
+        # rewrites the still-missing rows, monotonically shrinking)
         raise IndexConflictError(
             f"ivf_index_append({path}): a maintenance swap superseded "
             f"version {v0} mid-append — retry with "
@@ -1117,6 +1151,44 @@ def ivf_index_append(
             "part of this batch forward already)"
         )
     return int(n)
+
+
+def _append_via_move(df, vdir: str, partition_cols: list[str]) -> None:
+    """Append `df` into a LIVE version dir WITHOUT the Hadoop committer:
+    the maintainer's post-swap fold runs concurrently with a live
+    appender writing the same dir, and two committer jobs sharing one
+    `<dir>/_temporary/0` staging tree clobber each other (one job's
+    commit cleanup deletes the other's in-flight attempt dirs —
+    observed as 'Mkdirs failed to create .../_temporary/...' task
+    failures in the stress test). The fold instead writes to a hidden
+    scratch sibling (`.fold-*`, invisible to Spark's listings) and
+    hard-renames the part files into their partition dirs — per-file
+    atomic, no shared staging, same visibility semantics as any append
+    (files appear one by one). Part filenames carry job UUIDs, so
+    renames cannot collide with the appender's files."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    scratch = os.path.join(
+        os.path.dirname(vdir), f".fold-{uuid.uuid4().hex}"
+    )
+    try:
+        (
+            df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(scratch)
+        )
+        for src in _glob.glob(
+            os.path.join(scratch, *["*=*"] * len(partition_cols), "*.parquet")
+        ):
+            rel = os.path.relpath(src, scratch)
+            dst = os.path.join(vdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def ivf_maintain(
@@ -1181,7 +1253,7 @@ def ivf_maintain(
     import glob as _glob
     import math
 
-    data, v0 = _ivf_current(path)
+    data, v0 = _idx_current(path)
 
     def cell_files() -> set[str]:
         return set(_glob.glob(os.path.join(data, "cell=*", "*.parquet")))
@@ -1212,7 +1284,7 @@ def ivf_maintain(
         corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         max_literals=max_literals, lloyd_iters=lloyd_iters,
     )
-    _ivf_swap_current(path, new_v)  # publish: probes/appends flip here
+    _idx_swap_current(path, new_v)  # publish: probes/appends flip here
     folded = 0
     delta = cell_files() - files0  # appends that landed mid-rebuild
     if delta:
@@ -1225,12 +1297,22 @@ def ivf_maintain(
                 "left_anti",
             )
         )
-        # current now resolves to new_v, so this quantizes against the
-        # NEW codebook and its own version check cannot conflict
-        folded = ivf_index_append(
-            new_rows, path, id_col=id_col, vec_col=vec_col,
-            max_literals=max_literals,
+        # quantize against the NEW codebook and fold via the
+        # committer-free move path — a live appender may be writing
+        # this same dir right now (see _append_via_move)
+        seeds2 = sorted(
+            (int(r["cell"]), list(r[vec_col]))
+            for r in spark.read.parquet(f"{vdir}/_seeds").collect()
         )
+        assign2 = (
+            _assign_literal
+            if len(seeds2) * len(seeds2[0][1]) <= max_literals
+            else _assign_pandas
+        )
+        assigned2 = assign2(new_rows, seeds2, id_col, vec_col)
+        folded = assigned2.count()
+        if folded:
+            _append_via_move(assigned2, vdir, ["cell"])
     return {
         "old_version": v0,
         "new_version": new_v,
@@ -1241,17 +1323,22 @@ def ivf_maintain(
     }
 
 
-def ivf_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
-    """Delete SUPERSEDED IVF version dirs (and the legacy flat layout's
-    root cell dirs once a versioned current exists) whose tree has been
-    quiet for `retention_s` — the retention window is what keeps a
-    probe that resolved the old version mid-swap safe, exactly like the
-    table vacuum. Returns the removed paths."""
+def _index_vacuum(
+    path: str, retention_s: float, legacy_prefixes: tuple[str, ...],
+    legacy_names: tuple[str, ...] = (),
+) -> list[str]:
+    """Delete SUPERSEDED index version dirs (and the legacy flat
+    layout's root data dirs once a versioned current exists) whose tree
+    has been quiet for `retention_s` — the retention window is what
+    keeps a probe that resolved the old version mid-swap safe, exactly
+    like the table vacuum. Root metadata that stays live across
+    versions (the LSH `_params`) is simply not in the legacy lists.
+    Returns the removed paths."""
     import re
     import shutil
     import time as _time
 
-    _data, cur = _ivf_current(path)
+    _data, cur = _idx_current(path)
     if cur < 0:
         return []  # nothing versioned yet — nothing is superseded
     removed = []
@@ -1271,7 +1358,11 @@ def ivf_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
         m = re.fullmatch(r"_v(\d+)", name)
-        legacy = name.startswith("cell=") or name == "_seeds"
+        legacy = (
+            name.startswith(legacy_prefixes)
+            or name in legacy_names
+            or name.startswith(".fold-")  # crashed fold scratch
+        )
         if m and int(m.group(1)) >= cur:
             continue
         if not (m or legacy) or not os.path.isdir(full):
@@ -1281,3 +1372,97 @@ def ivf_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
         shutil.rmtree(full, ignore_errors=True)
         removed.append(full)
     return removed
+
+
+def ivf_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
+    """`_index_vacuum` for an IVF index: superseded `_vK` dirs plus the
+    legacy flat layout's `cell=*` dirs and root `_seeds` (each version
+    carries its own seeds)."""
+    return _index_vacuum(path, retention_s, ("cell=",), ("_seeds",))
+
+
+def lsh_vacuum(path: str, retention_s: float = 600.0) -> list[str]:
+    """`_index_vacuum` for an LSH index: superseded `_vK` dirs plus the
+    legacy flat layout's `band=*` dirs. `_params` (the immutable
+    hyperplanes, live across every version) is never touched."""
+    return _index_vacuum(path, retention_s, ("band=",))
+
+
+def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Compact a fragmented LSH serving index at maintenance cadence —
+    the LSH half of the serving-index maintenance story. LSH has no
+    codebook drift (hyperplanes are data-independent), but every
+    O(batch) `lsh_index_append` sprays one file set across its
+    (band, bucket) dirs, so after K appends a probe opens ~K files per
+    pruned directory (footer opens are round-trips on object storage —
+    the classic lake small-file disease). This rewrites the CURRENT
+    version to one file per (band, bucket) behind the SAME
+    versioned-pointer protocol as `ivf_maintain`:
+
+      - pinned file-snapshot input (explicit part list, read with
+        basePath so the partition columns survive);
+      - complete `_vK` rewrite, then atomic `_current` swap (mkdir on
+        the version dir is the rival-maintainer CAS);
+      - post-swap fold of delta files (appends that committed
+        mid-compaction), anti-joined on (id, band) — the band-complete
+        key, see `lsh_index_append`'s dedup note;
+      - superseded versions retired later by `lsh_vacuum` under
+        retention. `_params` stays at the root, untouched — planes
+        never change, so probes keep their mtime-stamped cache.
+
+    Returns {"old_version", "new_version", "n_files_before",
+    "n_files_after", "folded"}."""
+    import glob as _glob
+
+    data, v0 = _idx_current(path)
+
+    def part_files() -> set[str]:
+        return set(_glob.glob(os.path.join(data, "band=*", "bucket=*", "*.parquet")))
+
+    pinned = part_files()
+    if not pinned:
+        raise ValueError(f"LSH index at {path} has no data files")
+    rows = spark.read.option("basePath", data).parquet(*sorted(pinned))
+    new_v = v0 + 1
+    vdir = os.path.join(path, f"_v{new_v}")
+    try:
+        os.makedirs(vdir, exist_ok=False)  # the rival-maintainer CAS
+    except FileExistsError:
+        raise IndexConflictError(
+            f"lsh_maintain({path}): version {new_v} already claimed by "
+            "a rival maintainer; rebase on the new current and retry"
+        ) from None
+    (
+        rows.repartition("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket")
+        .parquet(vdir)
+    )
+    _idx_swap_current(path, new_v)  # publish: probes/appends flip here
+    folded = 0
+    delta = part_files() - pinned
+    if delta:
+        new_rows = (
+            spark.read.option("basePath", data)
+            .parquet(*sorted(delta))
+            .join(
+                spark.read.parquet(vdir).select(id_col, "band"),
+                [id_col, "band"],
+                "left_anti",
+            )
+        )
+        folded = new_rows.count()
+        if folded:
+            # committer-free move: a live appender may be writing this
+            # same dir (see _append_via_move)
+            _append_via_move(new_rows, vdir, ["band", "bucket"])
+    n_after = len(
+        _glob.glob(os.path.join(vdir, "band=*", "bucket=*", "*.parquet"))
+    )
+    return {
+        "old_version": v0,
+        "new_version": new_v,
+        "n_files_before": len(pinned),
+        "n_files_after": n_after,
+        "folded": int(folded),
+    }

@@ -27,8 +27,13 @@ bare `glob`/`os.listdir`/`open`:
 abfs://, ...) — callers then fall back to the Spark aggregate job, the
 same correctness-never-depends-on-footers contract as before.
 
-S3 reads are RANGED (`get_object(Range="bytes=a-b")` behind a seekable
-file object), so opening a footer fetches kilobytes, not the file.
+S3 footer reads are RANGED: one `get_object(Range=...)` fetches the
+exact footer slice (re-fetched once if a footer outgrows the prefetch),
+and the parse runs over `pa.BufferReader` — a native Arrow memory file
+— on the CALLING thread, because GIL-held thrift parses convoy 6×
+slower under a wide pool while the byte fetches overlap perfectly.
+`open_file` additionally exposes a general seekable ranged-GET file
+for ad-hoc metadata needs.
 """
 
 from __future__ import annotations

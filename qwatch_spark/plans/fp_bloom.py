@@ -380,7 +380,10 @@ class FpBloomIndex:
                         pass
             elif name.startswith("full-w"):
                 try:
-                    w = int(name.split("-")[1][1:])
+                    # full-w{W}-{hex}.npz, W may be NEGATIVE (-1 = a
+                    # bootstrap rebuild on an empty table), so split on
+                    # the LAST hyphen, not the first
+                    w = int(name[len("full-w"):].rsplit("-", 1)[0])
                 except ValueError:
                     continue
                 if w <= committed:

@@ -142,6 +142,55 @@ def test_maintain_job_cli_once(spark, tmp_path):
     assert _engine_state(spark, after) == before
 
 
+def test_index_maintain_job_cli_once(spark, tmp_path):
+    """jobs/index_maintain_job.py --once drives both ANN index
+    maintenance paths end-to-end: IVF recluster + vacuum, LSH small-file
+    compaction + vacuum — the ops-cadence sibling of maintain_job."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from jobs.index_maintain_job import main
+    from qwatch_spark.operators.similarity import (
+        _idx_current,
+        ivf_build_index,
+        ivf_index_append,
+        lsh_build_index,
+        lsh_index_append,
+        lsh_probe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf_path, lsh_path = str(tmp_path / "ivf"), str(tmp_path / "lsh")
+    ivf_build_index(emb.filter(F.col("vec_id") < 100), ivf_path, n_cells=8)
+    ivf_index_append(emb.filter(F.col("vec_id") >= 100), ivf_path)
+    lsh_build_index(
+        emb.filter(F.col("vec_id") < 100), lsh_path, n_planes=16, n_bands=8
+    )
+    for lo in (100, 200, 300):
+        lsh_index_append(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ),
+            lsh_path,
+        )
+    rc = main([
+        "--ivf", ivf_path, "--lsh", lsh_path, "--once",
+        "--lloyd-iters", "0", "--vacuum-retention", "0",
+    ])
+    assert rc == 0
+    assert _idx_current(ivf_path)[1] == 0
+    assert _idx_current(lsh_path)[1] == 0
+    n = emb.count()
+    data, _ = _idx_current(ivf_path)
+    assert spark.read.parquet(data).count() == n
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    top = lsh_probe_topk(spark, lsh_path, q, k=1).collect()
+    assert int(top[0]["vec_id"]) == 5
+
+
 def test_cas_backend_config_plumbing(tmp_path):
     """PipelineConfig validates cas_backend and create_entity_tables
     propagates it into every entity/link manifest."""

@@ -764,9 +764,9 @@ def _clustered_corpus(spark, n, dim=16, n_clusters=96, seed=5):
 
 def _ivf_state(spark, path):
     """(n_rows, n_cells) of the index's CURRENT version."""
-    from qwatch_spark.operators.similarity import _ivf_current
+    from qwatch_spark.operators.similarity import _idx_current
 
-    data, _v = _ivf_current(path)
+    data, _v = _idx_current(path)
     n = spark.read.parquet(data).count()
     cells = spark.read.parquet(f"{data}/_seeds").count()
     return n, cells
@@ -869,7 +869,7 @@ def test_ivf_append_conflict_is_typed_and_retry_dedups(
     ivf.ivf_build_index(df.filter(F.col("vec_id") < 100), path, n_cells=8)
     batch = df.filter(F.col("vec_id") >= 100)
 
-    real = sim._ivf_current
+    real = sim._idx_current
     state = {"calls": 0}
 
     def racing(p):
@@ -881,7 +881,7 @@ def test_ivf_append_conflict_is_typed_and_retry_dedups(
             ivf.ivf_maintain(spark, p, n_cells=8, lloyd_iters=0)
         return real(p)
 
-    monkeypatch.setattr(sim, "_ivf_current", racing)
+    monkeypatch.setattr(sim, "_idx_current", racing)
     with pytest.raises(sim.IndexConflictError, match="dedup_against_index"):
         ivf.ivf_index_append(batch, path)
     monkeypatch.undo()
@@ -889,7 +889,7 @@ def test_ivf_append_conflict_is_typed_and_retry_dedups(
     # retry per the contract: anti-joined, so nothing duplicates
     n = ivf.ivf_index_append(batch, path, dedup_against_index=True)
     assert n == 0, "maintainer had carried the batch; retry must no-op"
-    data, v = sim._ivf_current(path)
+    data, v = sim._idx_current(path)
     assert v == 0
     got = spark.read.parquet(data).groupBy("vec_id").count()
     assert got.filter(F.col("count") > 1).count() == 0, "duplicate ids"
@@ -932,10 +932,14 @@ def test_ivf_maintain_rival_claim_and_vacuum(spark, tmp_path):
     assert int(got[0]["vec_id"]) == 3
 
 
-def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
-    """The r6 stress test's discipline extended to maintenance: an
-    appender (retrying typed conflicts with the dedup flag), two
-    probers, and a MAINTAINER reclustering mid-traffic. Every probe
+@pytest.mark.parametrize("kind", ["ivf", "lsh"])
+def test_concurrent_append_probe_maintain_stress(spark, tmp_path, kind):
+    """The r6 stress test's discipline extended to maintenance, over
+    BOTH serving families: an appender (retrying typed conflicts with
+    the dedup flag), two probers, and a MAINTAINER mid-traffic (IVF:
+    recluster; LSH: small-file compaction — whose post-swap fold runs
+    CONCURRENTLY with the live appender in the same version dir, the
+    committer-staging clash _append_via_move exists for). Every probe
     must succeed against a fully intact version; after the dust
     settles, every vector is present exactly once and findable."""
     import random
@@ -945,8 +949,32 @@ def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
 
     rows, df = _clustered_corpus(spark, 480, n_clusters=48)
     vecs = {i: v for i, v in rows}
-    path = str(tmp_path / "ivf")
-    sim.ivf_build_index(df.filter(F.col("vec_id") < 60), path, n_cells=7)
+    path = str(tmp_path / kind)
+    seed_df = df.filter(F.col("vec_id") < 60)
+    if kind == "ivf":
+        sim.ivf_build_index(seed_df, path, n_cells=7)
+
+        def append(batch, dedup):
+            sim.ivf_index_append(batch, path, dedup_against_index=dedup)
+
+        def maintain():
+            sim.ivf_maintain(spark, path, lloyd_iters=1)
+
+        def probe(q):
+            return sim.ivf_probe_topk(
+                spark, path, vecs[q], k=3, n_probe=4
+            ).collect()
+    else:
+        sim.lsh_build_index(seed_df, path, n_planes=16, n_bands=8, dim=16)
+
+        def append(batch, dedup):
+            sim.lsh_index_append(batch, path, dedup_against_index=dedup)
+
+        def maintain():
+            sim.lsh_maintain(spark, path)
+
+        def probe(q):
+            return sim.lsh_probe_topk(spark, path, vecs[q], k=3).collect()
 
     committed = list(range(60))
     lock = threading.Lock()
@@ -963,9 +991,7 @@ def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
                 )
                 for attempt in range(8):
                     try:
-                        sim.ivf_index_append(
-                            batch, path, dedup_against_index=attempt > 0
-                        )
+                        append(batch, attempt > 0)
                         break
                     except sim.IndexConflictError:
                         continue
@@ -979,13 +1005,26 @@ def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
             stop.set()
 
     def maintainer():
+        import time as _time
+
         try:
-            while not stop.is_set():
+            # BOUNDED cycles at a spaced cadence: real deployments
+            # recluster at minutes-to-hours intervals — a maintainer
+            # swapping continuously with zero gap starves appenders by
+            # construction (every append window then contains a swap),
+            # which tests the test, not the protocol. Three spaced
+            # swaps still land mid-traffic, and bounding them makes the
+            # appender's retry budget deterministically sufficient (a
+            # batch can conflict at most once per remaining cycle).
+            for _ in range(3):
+                if stop.is_set():
+                    break
                 try:
-                    sim.ivf_maintain(spark, path, lloyd_iters=1)
+                    maintain()
                     maintains_done[0] += 1
                 except sim.IndexConflictError:
                     pass  # rival claim — rebase next cycle
+                _time.sleep(2.0)
         except Exception as e:
             errors.append(("maintain", repr(e)))
 
@@ -995,9 +1034,7 @@ def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
             while not stop.is_set() or probes_done[0] < 4:
                 with lock:
                     q = rnd.choice(committed)
-                got = sim.ivf_probe_topk(
-                    spark, path, vecs[q], k=3, n_probe=4
-                ).collect()
+                got = probe(q)
                 assert got, f"probe {q} empty"
                 probes_done[0] += 1
                 if probes_done[0] > 30:
@@ -1018,14 +1055,140 @@ def test_ivf_concurrent_append_probe_maintain_stress(spark, tmp_path):
     assert not errors, errors
     assert maintains_done[0] >= 1, "maintainer never completed a cycle"
     # final state: every id exactly once, regardless of interleaving
-    data, _v = sim._ivf_current(path)
-    got = spark.read.parquet(data).groupBy("vec_id").count()
-    assert got.filter(F.col("count") > 1).count() == 0, "duplicates"
-    assert got.count() == 480, "lost vectors"
-    top = sim.ivf_probe_topk(
-        spark, path, vecs[433], k=1, n_probe=6, exclude_id=None
-    ).collect()
+    data, _v = sim._idx_current(path)
+    if kind == "ivf":
+        got = spark.read.parquet(data).groupBy("vec_id").count()
+        assert got.filter(F.col("count") > 1).count() == 0, "duplicates"
+        assert got.count() == 480, "lost vectors"
+        top = sim.ivf_probe_topk(
+            spark, path, vecs[433], k=1, n_probe=6, exclude_id=None
+        ).collect()
+    else:
+        got = spark.read.parquet(data).groupBy("vec_id", "band").count()
+        assert got.filter(F.col("count") > 1).count() == 0, "duplicates"
+        per_id = got.groupBy("vec_id").count()
+        assert per_id.filter(F.col("count") != 8).count() == 0, (
+            "missing bands"
+        )
+        assert per_id.count() == 480, "lost vectors"
+        top = sim.lsh_probe_topk(spark, path, vecs[433], k=1).collect()
     assert int(top[0]["vec_id"]) == 433
+
+
+def _lsh_files_per_bucket(path):
+    import glob as _glob
+
+    from qwatch_spark.operators.similarity import _idx_current
+
+    data, _v = _idx_current(path)
+    files = _glob.glob(f"{data}/band=*/bucket=*/*.parquet")
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    return len(files), (len(files) / max(1, len(dirs)))
+
+
+def test_lsh_maintain_compacts_small_files_probe_identical(
+    spark, emb, tmp_path
+):
+    """r7: LSH has no codebook drift (planes are data-independent) but
+    every O(batch) append sprays one file set across its (band,bucket)
+    dirs — after K appends a probe opens ~K files per pruned dir (the
+    lake small-file disease). `lsh_maintain` compacts the CURRENT
+    version to ~one file per bucket behind the same versioned-pointer
+    swap the IVF maintenance uses; probe results must be row-identical
+    before/after, and `_params` (immutable planes) stays live at the
+    root across versions."""
+    from qwatch_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_index_append,
+        lsh_maintain,
+        lsh_probe_topk,
+        lsh_vacuum,
+    )
+
+    rows = emb.limit(160).collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    ids = sorted(vecs)
+    path = str(tmp_path / "lsh")
+    lsh_build_index(
+        emb.filter(F.col("vec_id").isin(ids[:40])), path,
+        n_planes=16, n_bands=8,
+    )
+    for lo in range(40, 160, 15):  # 8 appends: files pile up per bucket
+        lsh_index_append(
+            emb.filter(F.col("vec_id").isin(ids[lo: lo + 15])), path
+        )
+    n_before, per_bucket_before = _lsh_files_per_bucket(path)
+    assert per_bucket_before > 2, "fixture didn't fragment"
+    qids = [ids[1], ids[77], ids[150]]
+    before = {
+        q: [(int(r["vec_id"]), r["cosine"]) for r in
+            lsh_probe_topk(spark, path, vecs[q], k=5).collect()]
+        for q in qids
+    }
+    out = lsh_maintain(spark, path)
+    assert out["new_version"] == 0 and out["folded"] == 0
+    n_after, per_bucket_after = _lsh_files_per_bucket(path)
+    assert per_bucket_after <= 1.01, (n_before, n_after)
+    assert n_after < n_before / 2
+    after = {
+        q: [(int(r["vec_id"]), r["cosine"]) for r in
+            lsh_probe_topk(spark, path, vecs[q], k=5).collect()]
+        for q in qids
+    }
+    assert after == before, "compaction changed probe results"
+    # vacuum retires the legacy flat layout; _params must survive
+    assert lsh_vacuum(path, retention_s=0)
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(path, "_params"))
+    assert not any(d.startswith("band=") for d in _os.listdir(path))
+    again = {
+        q: [(int(r["vec_id"]), r["cosine"]) for r in
+            lsh_probe_topk(spark, path, vecs[q], k=5).collect()]
+        for q in qids
+    }
+    assert again == before
+
+
+def test_lsh_append_conflict_typed_and_band_complete_fold(
+    spark, emb, tmp_path, monkeypatch
+):
+    """An LSH append racing a compaction swap gets the typed conflict;
+    the retry dedups on (id, band) — NOT id alone, because a torn
+    append can land HALF its band files inside the maintainer's pinned
+    snapshot and the other half in the fold window; an id-level dedup
+    would permanently drop the missing bands (silent recall loss)."""
+    import qwatch_spark.operators.similarity as sim
+
+    ids = [int(r["vec_id"]) for r in emb.limit(120).collect()]
+    path = str(tmp_path / "lsh")
+    sim.lsh_build_index(
+        emb.filter(F.col("vec_id").isin(ids[:80])), path,
+        n_planes=16, n_bands=8,
+    )
+    batch = emb.filter(F.col("vec_id").isin(ids[80:]))
+
+    real = sim._idx_current
+    state = {"calls": 0}
+
+    def racing(p):
+        state["calls"] += 1
+        if state["calls"] == 2:  # post-write check: a compaction landed
+            sim.lsh_maintain(spark, p)
+        return real(p)
+
+    monkeypatch.setattr(sim, "_idx_current", racing)
+    with pytest.raises(sim.IndexConflictError, match="dedup_against_index"):
+        sim.lsh_index_append(batch, path)
+    monkeypatch.undo()
+    assert sim.lsh_index_append(batch, path, dedup_against_index=True) == 0
+    data, v = sim._idx_current(path)
+    assert v == 0
+    got = spark.read.parquet(data).groupBy("vec_id", "band").count()
+    assert got.filter(F.col("count") > 1).count() == 0, "duplicate rows"
+    per_id = got.groupBy("vec_id").count()
+    assert per_id.filter(F.col("count") != 8).count() == 0, "missing bands"
+    assert per_id.count() == 120
 
 
 @pytest.mark.parametrize("kind", ["lsh", "ivf"])
