@@ -937,8 +937,6 @@ class SnapshotTable:
         the file count grows instead of re-serializing the commit one
         footer at a time; unknown schemes → None, callers keep the
         dir-level map)."""
-        import datetime as dt
-
         from qwatch_spark.plans.datafs import datafs_for
 
         fs = datafs_for(d)
@@ -946,6 +944,26 @@ class SnapshotTable:
             return None
         if max_workers is None:
             max_workers = fs.io_workers  # local: sequential; s3: wide
+        paths = fs.list_parquet(d)
+        if not paths:
+            return None
+        ranges = [
+            SnapshotTable._ts_range_of_md(md)
+            for md in fs.parquet_metadata_many(paths, max_workers)
+        ]
+        out: dict[str, list | None] = {}
+        for path, r in zip(paths, ranges):
+            if r == "missing":
+                return None
+            out[path.rsplit("/", 1)[-1]] = r
+        return out
+
+    @staticmethod
+    def _ts_range_of_md(md):
+        """One footer's warc_ts range: [lo_iso, hi_iso], None (all rows
+        null — no range, read always), or the sentinel "missing" (a
+        statistic is absent — the caller's whole fast path falls back)."""
+        import datetime as dt
 
         def norm(v):
             if not isinstance(v, dt.datetime):
@@ -954,45 +972,69 @@ class SnapshotTable:
                 v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
             return v
 
-        def one(md):
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                rgm = md.row_group(rg)
-                col = None
-                for i in range(rgm.num_columns):
-                    c = rgm.column(i)
-                    if c.path_in_schema == "warc_ts":
-                        col = c
-                        break
-                if col is None:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            col = None
+            for i in range(rgm.num_columns):
+                c = rgm.column(i)
+                if c.path_in_schema == "warc_ts":
+                    col = c
+                    break
+            if col is None:
+                return "missing"
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                mn, mx = norm(st.min), norm(st.max)
+                if mn is None or mx is None:
                     return "missing"
-                st = col.statistics
-                if st is not None and st.has_min_max:
-                    mn, mx = norm(st.min), norm(st.max)
-                    if mn is None or mx is None:
-                        return "missing"
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-                elif (
-                    st is not None
-                    and st.has_null_count
-                    and st.null_count == rgm.num_rows
-                ):
-                    continue  # all-null chunk contributes no range
-                else:
-                    return "missing"
-            return [_ziso(lo), _ziso(hi)] if lo is not None else None
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            elif (
+                st is not None
+                and st.has_null_count
+                and st.null_count == rgm.num_rows
+            ):
+                continue  # all-null chunk contributes no range
+            else:
+                return "missing"
+        return [_ziso(lo), _ziso(hi)] if lo is not None else None
 
-        paths = fs.list_parquet(d)
-        if not paths:
-            return None
-        ranges = [one(md) for md in fs.parquet_metadata_many(paths, max_workers)]
-        out: dict[str, list | None] = {}
-        for path, r in zip(paths, ranges):
+    @staticmethod
+    def _file_ts_ranges_many(
+        out: str, buckets, max_workers: int | None = None
+    ) -> dict:
+        """`_file_ts_ranges` for MANY bucket dirs of one compaction
+        output in two batched passes: ONE tree listing of `out` (one
+        non-delimited LIST round-trip per ~1000 keys on object storage
+        — the per-victim form pays one LIST per bucket) and ONE pooled
+        footer pass over every file. Returns {str(bucket): result},
+        result exactly as `_file_ts_ranges` (None = fall back to folding
+        prior token ranges for that bucket)."""
+        from qwatch_spark.plans.datafs import datafs_for
+
+        keys = [str(b) for b in buckets]
+        fs = datafs_for(out)
+        if fs is None:
+            return {k: None for k in keys}
+        if max_workers is None:
+            max_workers = fs.io_workers
+        tree = fs.list_parquet_tree(out)
+        per_bucket = {k: tree.get(f"b={k}", []) for k in keys}
+        flat = [(k, p) for k in keys for p in per_bucket[k]]
+        mds = fs.parquet_metadata_many([p for _k, p in flat], max_workers)
+        res: dict[str, dict | None] = {
+            k: ({} if per_bucket[k] else None) for k in keys
+        }
+        for (k, path), md in zip(flat, mds):
+            if res[k] is None:
+                continue
+            r = SnapshotTable._ts_range_of_md(md)
             if r == "missing":
-                return None
-            out[path.rsplit("/", 1)[-1]] = r
-        return out
+                res[k] = None
+                continue
+            res[k][path.rsplit("/", 1)[-1]] = r
+        return res
 
     def _delta_bytes(self, b: str, entry: dict) -> int:
         """On-disk bytes of a bucket's delta chain (driver-side listing;
@@ -1092,13 +1134,17 @@ class SnapshotTable:
         manifest["version"] = new_version
         cur = self._buckets_of(self._manifest, only=[int(b) for b in victims])
         updates: dict = {}
+        # zone maps for ALL victims in two batched passes (one tree
+        # LIST + one pooled footer pass) — the per-victim form paid one
+        # LIST round-trip per bucket on object storage
+        all_franges = self._file_ts_ranges_many(out, victims)
         for b in victims:
-            # zone maps for the new base, preferring EXACT per-file
-            # footer ranges (tight after deletes; also yields the
-            # per-file `zf` refinement when the bucket spans several
-            # files); fall back to folding the prior tokens' ranges
-            # (loose but never understated) when footers lack stats
-            franges = self._file_ts_ranges(os.path.join(out, f"b={b}"))
+            # prefer EXACT per-file footer ranges (tight after deletes;
+            # also yields the per-file `zf` refinement when the bucket
+            # spans several files); fall back to folding the prior
+            # tokens' ranges (loose but never understated) when footers
+            # lack stats
+            franges = all_franges.get(str(b))
             zf = {}
             if franges is not None:
                 # dir-level z only when EVERY file's range is known —

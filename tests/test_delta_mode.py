@@ -311,6 +311,20 @@ def test_footer_stats_over_fake_s3_match_local(spark, tmp_path):
             f"s3://bkt/tbl/data/v={tok}/b={b0}"
         )
         assert remote_rng == local_rng and local_rng is not None
+        # the batched many-bucket form (one tree LIST + one pooled
+        # footer pass) must agree with the per-dir form, per bucket,
+        # over BOTH stores
+        want_many = {
+            str(b): SnapshotTable._file_ts_ranges(os.path.join(out, f"b={b}"))
+            for b in touched
+        }
+        assert SnapshotTable._file_ts_ranges_many(out, touched) == want_many
+        assert (
+            SnapshotTable._file_ts_ranges_many(
+                f"s3://bkt/tbl/data/v={tok}", touched
+            )
+            == want_many
+        )
     finally:
         cb.S3CasBackend.client_factory = old_factory
         cb.FakeS3Client._buckets.clear()
