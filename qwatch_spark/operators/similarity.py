@@ -435,6 +435,25 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def _guard_fresh_build(path: str, fn: str, maintain_fn: str) -> None:
+    """Refuse a FRESH `.mode('overwrite')` build at a path that holds a
+    VERSIONED index (a `_current` pointer exists): the root overwrite
+    would delete the `_vK` dirs and the pointer out from under any live
+    probe that already resolved the old version — violating the
+    retention guarantee the vacuum exists to uphold. Rebuilding a
+    versioned index IS maintenance: `*_maintain` writes the new
+    generation behind the pointer protocol instead. A genuinely fresh
+    start means vacuuming and deleting the index directory first."""
+    if _idx_current(path)[1] >= 0:
+        raise ValueError(
+            f"{fn}({path}): path holds a VERSIONED index (_current "
+            f"pointer present) — a fresh overwrite build would delete "
+            f"version dirs still visible to live probes. Use "
+            f"{maintain_fn} to rebuild behind the pointer protocol, or "
+            "delete the index directory explicitly for a fresh start."
+        )
+
+
 def ivf_build_index(
     vectors: DataFrame,
     path: str,
@@ -455,6 +474,7 @@ def ivf_build_index(
     argmax over n_cells rows — zero jobs over the corpus at query time.
     `_seeds` is underscore-prefixed, so Spark's directory listing hides
     it from index reads automatically."""
+    _guard_fresh_build(path, "ivf_build_index", "ivf_maintain")
     seeds, assign = _ivf_codebook(
         vectors, n_cells, id_col, vec_col, max_literals, lloyd_iters
     )
@@ -475,13 +495,6 @@ def ivf_build_index(
         f"cell bigint, {vec_col} array<double>",
     )
     seed_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
-    # a fresh build at this path supersedes any prior versioned index:
-    # drop a stale `_current` pointer so probes resolve the new flat
-    # layout (ivf_maintain versions it again from here)
-    try:
-        os.remove(os.path.join(path, "_current"))
-    except OSError:
-        pass
 
 
 def ivf_params_for(
@@ -580,7 +593,12 @@ def _batch_probe_guard(
         )
     if queries:
         return None
-    id_type = dict(spark.read.parquet(path).dtypes)[id_col]
+    # resolve the CURRENT version dir, like every other probe path: on
+    # a maintained-and-vacuumed index the ROOT holds only underscore
+    # dirs (`_current`, `_vK`), which Spark's listing hides, so reading
+    # the root raises "unable to infer schema" instead of returning the
+    # documented empty frame (r7 verdict #1)
+    id_type = dict(spark.read.parquet(_idx_current(path)[0]).dtypes)[id_col]
     return spark.createDataFrame(
         [], f"query_id long, {id_col} {id_type}, cosine double"
     )
@@ -704,6 +722,7 @@ def lsh_build_index(
     hyperplane parameters; probes and appends MUST hash with them (a
     re-derived quantizer silently degrades recall — same invariant as
     the IVF `_seeds` snapshot)."""
+    _guard_fresh_build(path, "lsh_build_index", "lsh_maintain")
     bucketed = lsh_rand_buckets(
         vectors, n_planes, n_bands, dim, seed, id_col, vec_col
     )
@@ -1056,7 +1075,10 @@ class IndexConflictError(RuntimeError):
 
 def _idx_current(path: str) -> tuple[str, int]:
     """Resolve an IVF index's CURRENT data dir: `path/_current` (json
-    `{"version": K}`) points at `path/v=K`; no pointer = the legacy
+    `{"version": K}`) points at `path/_vK` (UNDERSCORE-prefixed — that
+    prefix is what hides version dirs from Spark's directory listings,
+    so a legacy flat read never sees them as a rival partition column);
+    no pointer = the legacy
     flat layout (data directly under `path`, version -1). The pointer
     is the index's visibility linearization point — `ivf_maintain`
     writes a complete new version dir BEFORE atomically swapping the

@@ -59,14 +59,27 @@ def _shared_pool() -> ThreadPoolExecutor:
     round-trips it overlaps (measured: 512 pooled 20 ms sleeps took
     0.34 s on a fresh pool vs the ~0.06 s two waves should). Real
     drivers amortize their I/O pools the same way boto3 reuses its
-    connection pool."""
+    connection pool. Shut down at interpreter exit (threads are
+    daemonic-by-join otherwise and a long-lived driver would leak the
+    pool across embedded restarts — r7 verdict #7)."""
     global _pool
     with _pool_lock:
         if _pool is None:
+            import atexit
+
             _pool = ThreadPoolExecutor(
                 max_workers=_POOL_SIZE, thread_name_prefix="datafs-io"
             )
+            atexit.register(_shutdown_pool)
         return _pool
+
+
+def _shutdown_pool() -> None:
+    global _pool
+    with _pool_lock:
+        if _pool is not None:
+            _pool.shutdown(wait=False, cancel_futures=True)
+            _pool = None
 
 
 def pmap(fn, items, max_workers: int = 32) -> list:
@@ -110,6 +123,13 @@ class DataFS:
     def list_parquet(self, d: str) -> list[str]:
         """Full paths of `d`'s immediate *.parquet children, sorted by
         name. Missing directory → empty list."""
+        raise NotImplementedError
+
+    def dir_exists(self, d: str) -> bool:
+        """Whether `d` is reachable at all — what lets a caller tell an
+        EMPTY directory (exact answer: zero files) apart from a MISSING
+        or unreadable one (no answer: fall back). Object stores have no
+        directories; there the answer is 'any key under the prefix'."""
         raise NotImplementedError
 
     def list_parquet_tree(self, root: str) -> dict[str, list[str]]:
@@ -187,6 +207,9 @@ class LocalDataFS(DataFS):
                 out["" if rel == "." else rel] = pq_files
         return out
 
+    def dir_exists(self, d: str) -> bool:
+        return os.path.isdir(self._local(d))
+
     def open_file(self, path: str):
         return open(self._local(path), "rb")
 
@@ -256,16 +279,35 @@ class S3DataFS(DataFS):
     the SAME client object family `S3CasBackend` commits through
     (`client_factory` hook; tests install `FakeS3Client`), so remote
     parity is configuration, not code. Thread-safe iff the client is
-    (boto3 clients and FakeS3Client both are)."""
+    (boto3 clients and FakeS3Client both are).
+
+    Assumes part files are WRITE-ONCE (the table's own contract: data
+    files are only ever created and deleted, never rewritten in place),
+    which is what makes the listing-time size cache sound. The footer
+    fetch still validates the parquet magic and, on a mismatch (an
+    object rewritten behind a stale cached size — outside the contract,
+    but cheap to survive), drops the cache entry and re-fetches once
+    via a fresh HEAD before giving up."""
 
     io_workers: int = 512  # latency-bound KB-sized ranged GETs: overlap
     # wide (the s5cmd/rclone class of S3 tooling defaults to 256-512
     # concurrent ops; S3 itself serves 5,500 GET/s per prefix)
     tail_bytes: int = 128 * 1024  # footer prefetch (typ. footers ≪ this)
+    size_cache_max: int = 65536  # bound driver memory: a long-lived
+    # session touching millions of files must not accumulate one dict
+    # entry per file ever listed (r7 verdict #7); eviction is FIFO-ish
+    # (insertion order), fine for a cache refilled by every listing
 
     def __init__(self, client):
         self.client = client
         self._sizes: dict[str, int] = {}  # filled by list_parquet
+        self._sizes_lock = threading.Lock()
+
+    def _cache_size(self, uri: str, size: int) -> None:
+        with self._sizes_lock:
+            while len(self._sizes) >= self.size_cache_max:
+                self._sizes.pop(next(iter(self._sizes)))
+            self._sizes[uri] = int(size)
 
     @staticmethod
     def _split(uri: str) -> tuple[str, str]:
@@ -291,7 +333,7 @@ class S3DataFS(DataFS):
                     out.append(uri)
                     if "Size" in obj:  # real S3 always includes it —
                         # saves one HEAD round-trip per footer read
-                        self._sizes[uri] = int(obj["Size"])
+                        self._cache_size(uri, obj["Size"])
             if not resp.get("IsTruncated"):
                 return sorted(out)
             token = resp["NextContinuationToken"]
@@ -314,7 +356,7 @@ class S3DataFS(DataFS):
                 uri = f"s3://{bucket}/{obj['Key']}"
                 out.setdefault(rel_dir, []).append(uri)
                 if "Size" in obj:
-                    self._sizes[uri] = int(obj["Size"])
+                    self._cache_size(uri, obj["Size"])
             if not resp.get("IsTruncated"):
                 break
             token = resp["NextContinuationToken"]
@@ -322,14 +364,25 @@ class S3DataFS(DataFS):
             v.sort()
         return out
 
+    def dir_exists(self, d: str) -> bool:
+        """Any key under the prefix (one LIST of at most one key) —
+        object stores have no empty directories, so 'exists with zero
+        parquet files' means non-parquet keys live there."""
+        bucket, key = self._split(d)
+        resp = self.client.list_objects_v2(
+            Bucket=bucket, Prefix=key.rstrip("/") + "/", MaxKeys=1
+        )
+        return bool(resp.get("Contents"))
+
     def _size_of(self, path: str) -> int:
-        size = self._sizes.get(path)
+        with self._sizes_lock:
+            size = self._sizes.get(path)
         if size is None:
             bucket, key = self._split(path)
             size = int(
                 self.client.head_object(Bucket=bucket, Key=key)["ContentLength"]
             )
-            self._sizes[path] = size
+            self._cache_size(path, size)
         return size
 
     def open_file(self, path: str):
@@ -350,6 +403,21 @@ class S3DataFS(DataFS):
             Bucket=bucket, Key=key, Range=f"bytes={start}-{size - 1}"
         )
         data = resp["Body"].read()
+        if data[-4:] != b"PAR1":
+            # bad magic: either not parquet, or the cached listing size
+            # went stale (object rewritten — outside the write-once
+            # contract, but survivable): invalidate, HEAD a fresh size,
+            # and retry ONCE before failing loudly
+            with self._sizes_lock:
+                stale = self._sizes.pop(path, None)
+            size = self._size_of(path)
+            if stale != size:
+                start = max(0, size - self.tail_bytes)
+                resp = self.client.get_object(
+                    Bucket=bucket, Key=key,
+                    Range=f"bytes={start}-{size - 1}",
+                )
+                data = resp["Body"].read()
         if data[-4:] != b"PAR1":
             raise ValueError(f"{path}: not a parquet file (bad magic)")
         flen = int.from_bytes(data[-8:-4], "little") + 8

@@ -946,7 +946,11 @@ class SnapshotTable:
             max_workers = fs.io_workers  # local: sequential; s3: wide
         paths = fs.list_parquet(d)
         if not paths:
-            return None
+            # EMPTY dir (exists, zero files) is an exact answer — {} —
+            # e.g. a bucket dir emptied by compaction; MISSING/unreachable
+            # is no answer — None, fold prior token ranges instead
+            # (conflating them made an empty dir inherit stale ranges)
+            return {} if fs.dir_exists(d) else None
         ranges = [
             SnapshotTable._ts_range_of_md(md)
             for md in fs.parquet_metadata_many(paths, max_workers)
@@ -1010,7 +1014,12 @@ class SnapshotTable:
         — the per-victim form pays one LIST per bucket) and ONE pooled
         footer pass over every file. Returns {str(bucket): result},
         result exactly as `_file_ts_ranges` (None = fall back to folding
-        prior token ranges for that bucket)."""
+        prior token ranges for that bucket) — with one deliberate
+        asymmetry: a bucket dir that EXISTS but holds zero parquet files
+        maps to None here (the per-dir form returns the exact {}),
+        because a single tree listing cannot see empty directories at
+        all — and on object stores an empty prefix IS missing. The
+        fallback is conservative, never wrong."""
         from qwatch_spark.plans.datafs import datafs_for
 
         keys = [str(b) for b in buckets]

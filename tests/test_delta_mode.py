@@ -417,3 +417,70 @@ def test_footer_stats_fallback_commits_identically(spark, tmp_path, monkeypatch)
         }
 
     assert zmaps(t_fast) == zmaps(t_slow)
+
+
+def test_datafs_size_cache_bounded_and_stale_size_recovery(tmp_path):
+    """r7 verdict #7 + ADVICE: `S3DataFS._sizes` must stay bounded (a
+    long-lived driver listing millions of files must not leak one dict
+    entry per file ever seen), and a footer fetch against a STALE cached
+    size (object rewritten behind the listing — outside the write-once
+    contract, but survivable) must invalidate, re-HEAD, and succeed.
+    Pure driver-side unit test — no Spark session."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import qwatch_spark.plans.commit_backend as cb
+    from qwatch_spark.plans.datafs import LocalDataFS, S3DataFS
+
+    cb.FakeS3Client._buckets.clear()
+    try:
+        client = cb.FakeS3Client()
+        buf = _io.BytesIO()
+        pq.write_table(pa.table({"x": [1, 2, 3]}), buf)
+        blob = buf.getvalue()
+        for i in range(10):
+            client.put_object(Bucket="bkt", Key=f"d/f{i:02d}.parquet", Body=blob)
+        fs = S3DataFS(client)
+        fs.size_cache_max = 4
+        paths = fs.list_parquet("s3://bkt/d")
+        assert len(paths) == 10
+        assert len(fs._sizes) <= 4  # bounded despite 10 listed files
+        # evicted entries fall back to one HEAD — footer reads still work
+        md = fs.parquet_metadata_many(paths, max_workers=4)
+        assert all(m.num_rows == 3 for m in md)
+        # stale-size recovery: poison the cache with a wrong size
+        fs._cache_size(paths[0], len(blob) + 7)
+        assert fs.parquet_metadata(paths[0]).num_rows == 3
+        # a genuinely non-parquet object still fails loudly
+        client.put_object(Bucket="bkt", Key="d/bad.parquet", Body=b"junk")
+        fs2 = S3DataFS(client)
+        with pytest.raises(ValueError, match="bad magic"):
+            fs2.parquet_metadata("s3://bkt/d/bad.parquet")
+        # dir existence: object stores equate empty prefix with missing
+        assert fs.dir_exists("s3://bkt/d")
+        assert not fs.dir_exists("s3://bkt/nowhere")
+    finally:
+        cb.FakeS3Client._buckets.clear()
+    # local: empty-but-existing dir is distinguishable from missing
+    lfs = LocalDataFS()
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert lfs.dir_exists(str(d)) and not lfs.dir_exists(str(tmp_path / "no"))
+    assert SnapshotTable._file_ts_ranges(str(d)) == {}  # exact: zero files
+    assert SnapshotTable._file_ts_ranges(str(tmp_path / "no")) is None
+
+
+def test_datafs_shared_pool_shutdown_and_rebuild():
+    """The session I/O pool registers an atexit shutdown (r7 verdict #7);
+    shutting it down is idempotent and a later pmap transparently
+    rebuilds it."""
+    from qwatch_spark.plans import datafs
+
+    assert datafs.pmap(lambda x: x * 2, [1, 2, 3], max_workers=2) == [2, 4, 6]
+    datafs._shutdown_pool()
+    datafs._shutdown_pool()  # idempotent
+    assert datafs._pool is None
+    assert datafs.pmap(lambda x: x + 1, [1, 2, 3], max_workers=2) == [2, 3, 4]
+    assert datafs._pool is not None

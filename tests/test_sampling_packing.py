@@ -272,13 +272,20 @@ def test_pack_sequences_via_rank_remap_on_zipfian_key(spark, tmp_path, spill):
     )
     if spill:
         jsc = spark.sparkContext._jsc.sc()
-        before = len(jsc.getRDDStorageInfo())
+        # snapshot the pinned RDD id SET, not the count: an EARLIER
+        # test's localCheckpoint can be unpersisted asynchronously by
+        # ContextCleaner mid-test (observed in full-suite order: 5→4),
+        # so count-equality is flaky — the property under test is that
+        # the spill pins nothing NEW, i.e. no new ids appear
+        before_ids = {i.id() for i in jsc.getRDDStorageInfo()}
         remapped = dense_rank_remap(
             docs, "doc_id", out_col="rk", work_dir=str(tmp_path / "spill")
         )
         remapped.count()  # materialize through the spilled path
-        assert len(jsc.getRDDStorageInfo()) == before, (
-            "work_dir spill must not pin anything in executor storage"
+        after_ids = {i.id() for i in jsc.getRDDStorageInfo()}
+        assert not (after_ids - before_ids), (
+            "work_dir spill must not pin anything NEW in executor "
+            f"storage (new rdd ids: {sorted(after_ids - before_ids)})"
         )
     else:
         remapped = dense_rank_remap(docs, "doc_id", out_col="rk")

@@ -323,6 +323,47 @@ def test_batch_probe_empty_guard_and_chunking(spark, emb, tmp_path):
         )
 
 
+def test_batch_probe_empty_on_maintained_vacuumed_index(spark, emb, tmp_path):
+    """r7 verdict #1: the empty-batch guard must resolve the CURRENT
+    version dir like every other probe path. On a maintained index whose
+    legacy flat layout has been vacuumed, the ROOT holds only underscore
+    dirs (`_current`, `_vK`) — invisible to Spark's listing — so the old
+    root read raised AnalysisException ('unable to infer schema') on an
+    EMPTY batch, the exact API contract the guard exists to keep."""
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_maintain,
+        ivf_probe_topk_batch,
+        ivf_vacuum,
+        lsh_build_index,
+        lsh_maintain,
+        lsh_probe_topk_batch,
+        lsh_vacuum,
+    )
+
+    ivf_path = str(tmp_path / "ivf")
+    lsh_path = str(tmp_path / "lsh")
+    ivf_build_index(emb, ivf_path, n_cells=8)
+    lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
+    ivf_maintain(spark, ivf_path)
+    lsh_maintain(spark, lsh_path)
+    assert ivf_vacuum(ivf_path, retention_s=0.0)  # flat layout retired
+    assert lsh_vacuum(lsh_path, retention_s=0.0)
+    qid = 0
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+    ]
+    for fn, path in (
+        (ivf_probe_topk_batch, ivf_path),
+        (lsh_probe_topk_batch, lsh_path),
+    ):
+        full = fn(spark, path, [(qid, qvec)], k=5)
+        e = fn(spark, path, [], k=5)  # raised before the fix
+        assert e.count() == 0
+        assert e.schema == full.schema
+
+
 def test_ivf_batch_probe_wrong_dim_raises(spark, emb, tmp_path):
     from qwatch_spark.operators.similarity import (
         ivf_build_index,
@@ -1285,3 +1326,32 @@ def test_concurrent_append_probe_stress(spark, emb, tmp_path, kind):
     # quiescent sweep: the whole committed corpus is probe-visible
     for q in (seed_ids[0], rest[0], rest[-1]):
         probe_one(q)
+
+
+def test_fresh_build_over_versioned_index_refused(spark, emb, tmp_path):
+    """ADVICE r7: a fresh `.mode('overwrite')` build at a VERSIONED
+    index path would delete `_vK` dirs and `_current` out from under
+    live probes that already resolved the old version — the retention
+    guarantee `*_vacuum` exists to uphold. Builds now refuse with a
+    clear pointer to `*_maintain`; a flat (unversioned) rebuild stays
+    supported (the params-cache invalidation flow)."""
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_maintain,
+        lsh_build_index,
+        lsh_maintain,
+    )
+
+    ivf_path = str(tmp_path / "ivf")
+    lsh_path = str(tmp_path / "lsh")
+    ivf_build_index(emb, ivf_path, n_cells=8)
+    lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
+    # flat rebuild over a flat layout: still fine
+    ivf_build_index(emb, ivf_path, n_cells=8)
+    lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
+    ivf_maintain(spark, ivf_path)
+    lsh_maintain(spark, lsh_path)
+    with pytest.raises(ValueError, match="ivf_maintain"):
+        ivf_build_index(emb, ivf_path, n_cells=8)
+    with pytest.raises(ValueError, match="lsh_maintain"):
+        lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
