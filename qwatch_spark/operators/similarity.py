@@ -795,7 +795,11 @@ def lsh_index_append(
     the missing bands (silent recall loss)."""
     spark = new_vectors.sparkSession
     n_planes, n_bands, dim, seed = _lsh_index_params(spark, path)
-    data, v0 = _idx_current(path)
+    # dedup retries serialize behind an in-progress fold (write-skew
+    # guard, same as ivf_index_append — see _wait_no_fold)
+    data, v0 = (
+        _wait_no_fold(path) if dedup_against_index else _idx_current(path)
+    )
     bucketed = lsh_rand_buckets(
         new_vectors, n_planes, n_bands, dim, seed, id_col, vec_col
     )
@@ -1105,6 +1109,45 @@ def _idx_swap_current(path: str, version: int) -> None:
     os.replace(tmp, os.path.join(path, "_current"))  # atomic publish
 
 
+def _fold_marker(vdir: str) -> str:
+    return os.path.join(vdir, "_folding")
+
+
+def _wait_no_fold(path: str, timeout_s: float = 60.0) -> tuple[str, int]:
+    """Resolve the CURRENT version dir, waiting out any in-progress
+    post-swap delta fold — the serialization point that closes the
+    write-skew between a maintainer's fold and a conflicted append
+    retrying with `dedup_against_index=True`: both sides anti-join the
+    new version BEFORE either side's part files land, so without an
+    ordering they can each decide the same ids are missing and both
+    insert them (duplicates that persist across rebuilds and occupy two
+    top-k slots per id). An anti-join is a read, not a synchronization
+    point; the `_folding` marker is. The maintainer drops the marker
+    into the new version dir BEFORE the pointer swap and clears it when
+    the fold lands, so a dedup-retry (which by definition starts after
+    observing the swap) that waits for the marker to clear is
+    guaranteed to see the fold's output in its anti-join. Re-resolves
+    the pointer on every poll — a newer maintenance cycle may swap
+    again while we wait. Raises the typed `IndexConflictError` after `timeout_s`
+    (a marker that never clears means the single maintenance owner
+    crashed mid-fold — see the *_maintain crash notes)."""
+    import time as _time
+
+    deadline = _time.monotonic() + float(timeout_s)
+    while True:
+        data, v = _idx_current(path)
+        if v < 0 or not os.path.exists(_fold_marker(data)):
+            return data, v
+        if _time.monotonic() >= deadline:
+            raise IndexConflictError(
+                f"index at {path}: version {v}'s post-swap fold marker "
+                f"did not clear within {timeout_s}s — the maintenance "
+                "owner likely crashed mid-fold; re-run maintenance "
+                "before retrying appends"
+            )
+        _time.sleep(0.05)
+
+
 def ivf_index_append(
     vectors: DataFrame,
     path: str,
@@ -1136,7 +1179,13 @@ def ivf_index_append(
     against the current index's ids first (one id-column scan — paid
     only on the rare conflict path, keeping the normal append O(batch))."""
     spark = vectors.sparkSession
-    data, v0 = _idx_current(path)
+    # a dedup retry must serialize behind any in-progress post-swap
+    # fold: its anti-join and the fold's anti-join would otherwise race
+    # (write skew — both read before either writes, both insert the
+    # same ids); see _wait_no_fold
+    data, v0 = (
+        _wait_no_fold(path) if dedup_against_index else _idx_current(path)
+    )
     seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
@@ -1255,15 +1304,33 @@ def ivf_maintain(
         lost: after the swap, the old version's part files NOT in the
         pinned snapshot — the delta — are folded into the new version,
         anti-joined on `id_col` against what the new version already
-        holds. The anti-join is what makes EVERY interleaving safe: an
-        append whose post-write check saw the swap raises
-        `IndexConflictError` and retries against the new codebook, and
-        if its dead files also land in the fold window the anti-join
-        drops them (ids are unique by the append-only contract), so
-        retry-after-conflict can never duplicate;
+        holds. The anti-join alone is NOT a synchronization point (it
+        is a read): a conflicted append retrying with
+        `dedup_against_index=True` could anti-join concurrently with
+        the fold and both could insert the same ids (write skew). The
+        `_folding` marker closes that: it is written into the new
+        version dir BEFORE the swap and cleared when the fold lands,
+        and dedup retries wait for it (`_wait_no_fold`) — so a retry's
+        anti-join always sees the fold's output, and the fold never
+        races a retry's writes (a retry starts only after observing
+        the swap, hence after the marker exists);
       - after the swap no append can succeed into the old version (its
         post-write check necessarily runs after the swap), so ONE fold
         round suffices;
+      - VISIBILITY BOUND: an append that committed into the old version
+        mid-rebuild becomes probe-visible again when the fold lands —
+        i.e. before this function returns. Between the swap and the
+        fold's completion, probes against the new version may
+        transiently miss those rows (bounded by the fold duration —
+        the documented eventual-visibility contract of a serving
+        index; the stress test asserts post-maintain completeness);
+      - if the fold itself fails (or the owner crashes mid-fold) this
+        function raises with the marker left in place, so dedup
+        retries fail typed instead of silently duplicating; the delta
+        rows still exist in the superseded version dir — protected by
+        `ivf_vacuum` retention — and recovery is re-running
+        maintenance before the retention window retires them (the
+        single-maintenance-owner contract);
       - superseded version dirs are retired by `ivf_vacuum` under a
         retention window, never here — a long probe may still be
         reading them.
@@ -1306,6 +1373,12 @@ def ivf_maintain(
         corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         max_literals=max_literals, lloyd_iters=lloyd_iters,
     )
+    # fold-in-progress marker BEFORE the swap: dedup retries (which by
+    # definition start after observing the swap) wait on it, closing
+    # the fold-vs-retry write skew; cleared only when the fold LANDS,
+    # so a crashed fold fails retries typed instead of duplicating
+    with open(_fold_marker(vdir), "w") as fh:
+        fh.write("fold in progress; cleared when the delta fold lands")
     _idx_swap_current(path, new_v)  # publish: probes/appends flip here
     folded = 0
     delta = cell_files() - files0  # appends that landed mid-rebuild
@@ -1335,6 +1408,7 @@ def ivf_maintain(
         folded = assigned2.count()
         if folded:
             _append_via_move(assigned2, vdir, ["cell"])
+    os.remove(_fold_marker(vdir))  # fold landed: release dedup retries
     return {
         "old_version": v0,
         "new_version": new_v,
@@ -1427,7 +1501,10 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
         the version dir is the rival-maintainer CAS);
       - post-swap fold of delta files (appends that committed
         mid-compaction), anti-joined on (id, band) — the band-complete
-        key, see `lsh_index_append`'s dedup note;
+        key, see `lsh_index_append`'s dedup note — behind the same
+        `_folding` marker, write-skew guard, visibility bound
+        (delta rows probe-visible again before this returns) and
+        crash semantics as `ivf_maintain`;
       - superseded versions retired later by `lsh_vacuum` under
         retention. `_params` stays at the root, untouched — planes
         never change, so probes keep their mtime-stamped cache.
@@ -1460,6 +1537,10 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
         .partitionBy("band", "bucket")
         .parquet(vdir)
     )
+    # fold-in-progress marker BEFORE the swap (write-skew guard for
+    # dedup retries; same protocol + crash semantics as ivf_maintain)
+    with open(_fold_marker(vdir), "w") as fh:
+        fh.write("fold in progress; cleared when the delta fold lands")
     _idx_swap_current(path, new_v)  # publish: probes/appends flip here
     folded = 0
     delta = part_files() - pinned
@@ -1478,6 +1559,7 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
             # committer-free move: a live appender may be writing this
             # same dir (see _append_via_move)
             _append_via_move(new_rows, vdir, ["band", "bucket"])
+    os.remove(_fold_marker(vdir))  # fold landed: release dedup retries
     n_after = len(
         _glob.glob(os.path.join(vdir, "band=*", "bucket=*", "*.parquet"))
     )

@@ -1060,11 +1060,33 @@ def test_concurrent_append_probe_maintain_stress(spark, tmp_path, kind):
             for _ in range(3):
                 if stop.is_set():
                     break
+                with lock:
+                    pre = set(committed)
                 try:
                     maintain()
                     maintains_done[0] += 1
                 except sim.IndexConflictError:
                     pass  # rival claim — rebase next cycle
+                else:
+                    # the documented VISIBILITY BOUND (r7 verdict #3):
+                    # every append that returned success BEFORE this
+                    # maintain started must be probe-visible again by
+                    # the time maintain returns (the post-swap gap is
+                    # bounded by the fold, which lands before return)
+                    data_now, _vn = sim._idx_current(path)
+                    present = {
+                        int(r["vec_id"])
+                        for r in spark.read.parquet(data_now)
+                        .select("vec_id")
+                        .distinct()
+                        .collect()
+                    }
+                    missing = pre - present
+                    assert not missing, (
+                        f"post-maintain visibility gap: appends that "
+                        f"committed before the maintain are missing "
+                        f"after it returned: {sorted(missing)[:8]}"
+                    )
                 _time.sleep(2.0)
         except Exception as e:
             errors.append(("maintain", repr(e)))
@@ -1355,3 +1377,125 @@ def test_fresh_build_over_versioned_index_refused(spark, emb, tmp_path):
         ivf_build_index(emb, ivf_path, n_cells=8)
     with pytest.raises(ValueError, match="lsh_maintain"):
         lsh_build_index(emb, lsh_path, n_planes=16, n_bands=8)
+
+
+def test_fold_retry_write_skew_serialized(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): the post-swap fold and a conflicted append
+    retrying with dedup_against_index=True both anti-join the new
+    version BEFORE either side's part files land — a write skew that
+    inserts the same ids twice (and probes have no per-id dedup, so a
+    duplicate occupies two top-k slots). The `_folding` marker
+    serializes them: it exists from before the swap until the fold
+    lands, and dedup retries wait on it, so the retry's anti-join is
+    guaranteed to see the fold's output. This test reproduces the exact
+    interleaving deterministically: an append lands in the OLD version
+    inside the rebuild window (so it becomes fold delta), the fold is
+    held open at its write step, and the dedup retry for the same batch
+    runs concurrently — it must block until the fold lands and then
+    write NOTHING."""
+    import threading
+    import time as _time
+
+    import qwatch_spark.operators.similarity as sim
+
+    _rows, df = _clustered_corpus(spark, 120, n_clusters=12)
+    path = str(tmp_path / "ivf")
+    sim.ivf_build_index(df.filter(F.col("vec_id") < 60), path, n_cells=6)
+    batch = df.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 120))
+
+    # (1) inject the batch into the OLD version inside the maintain's
+    # rebuild window (after the file-snapshot pin, before the swap) —
+    # the append succeeds (no swap yet) and its files become fold delta
+    orig_build = sim.ivf_build_index
+    injected = threading.Event()
+
+    def build_then_inject(*a, **kw):
+        orig_build(*a, **kw)
+        if not injected.is_set():
+            injected.set()
+            n = sim.ivf_index_append(batch, path)
+            assert n == 60
+
+    # (2) hold the fold open at its WRITE step — the window in which
+    # the retry's anti-join would race it without the marker
+    orig_move = sim._append_via_move
+    fold_at_write = threading.Event()
+    fold_release = threading.Event()
+
+    def held_move(df_, vdir, cols):
+        fold_at_write.set()
+        assert fold_release.wait(timeout=120), "test orchestration hang"
+        orig_move(df_, vdir, cols)
+
+    monkeypatch.setattr(sim, "ivf_build_index", build_then_inject)
+    monkeypatch.setattr(sim, "_append_via_move", held_move)
+
+    maint_out: dict = {}
+    retry_out: dict = {}
+    errors: list = []
+
+    def maintainer():
+        try:
+            maint_out.update(sim.ivf_maintain(spark, path, lloyd_iters=0))
+        except Exception as e:  # surfaced below
+            errors.append(("maintain", repr(e)))
+            fold_at_write.set()  # unblock the retry thread
+
+    def retry():
+        try:
+            assert fold_at_write.wait(timeout=120)
+            t0 = _time.monotonic()
+            retry_out["n"] = sim.ivf_index_append(
+                batch, path, dedup_against_index=True
+            )
+            retry_out["waited_s"] = _time.monotonic() - t0
+        except Exception as e:
+            errors.append(("retry", repr(e)))
+
+    tm = threading.Thread(target=maintainer)
+    tr = threading.Thread(target=retry)
+    tm.start()
+    tr.start()
+    assert fold_at_write.wait(timeout=120)
+    _time.sleep(1.0)  # give the retry time to reach the marker wait
+    fold_release.set()
+    tm.join(timeout=300)
+    tr.join(timeout=300)
+    assert not errors, errors
+    assert maint_out["folded"] == 60  # the injected batch WAS fold delta
+    # the retry blocked on the marker, then saw the fold's output and
+    # wrote nothing — the write skew is closed
+    assert retry_out["n"] == 0, "retry duplicated the folded batch"
+    assert retry_out["waited_s"] >= 0.5, (
+        "retry did not serialize behind the fold "
+        f"(waited {retry_out['waited_s']:.2f}s)"
+    )
+    data, _v = sim._idx_current(path)
+    got = spark.read.parquet(data).groupBy("vec_id").count()
+    assert got.filter(F.col("count") > 1).count() == 0, "duplicate ids"
+    assert got.count() == 120, "lost vectors"
+
+
+def test_wait_no_fold_timeout_is_typed(tmp_path):
+    """A `_folding` marker that never clears (maintenance owner crashed
+    mid-fold) must fail dedup retries with the typed IndexConflictError
+    — loud and retryable-by-policy, never a silent duplicate. Pure
+    pointer-file unit test, no Spark."""
+    import json
+    import os
+
+    import qwatch_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    vdir = os.path.join(path, "_v3")
+    os.makedirs(vdir)
+    with open(os.path.join(path, "_current"), "w") as fh:
+        json.dump({"version": 3}, fh)
+    with open(sim._fold_marker(vdir), "w") as fh:
+        fh.write("x")
+    t0 = __import__("time").monotonic()
+    with pytest.raises(sim.IndexConflictError, match="fold marker"):
+        sim._wait_no_fold(path, timeout_s=0.3)
+    assert __import__("time").monotonic() - t0 >= 0.3
+    os.remove(sim._fold_marker(vdir))
+    assert sim._wait_no_fold(path, timeout_s=0.3) == (vdir, 3)
