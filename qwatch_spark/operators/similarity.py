@@ -483,7 +483,7 @@ def ivf_build_index(
         assigned.repartition(n_cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(_sp(path))
     )
     # persist the FINAL codebook — with lloyd_iters > 0 the partition
     # assignment above used the refined centroids, so `_seeds` must hold
@@ -494,7 +494,7 @@ def ivf_build_index(
         [(int(c), [float(x) for x in v]) for c, v in seeds],
         f"cell bigint, {vec_col} array<double>",
     )
-    seed_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_seeds")
+    seed_df.coalesce(1).write.mode("overwrite").parquet(_sp(f"{path}/_seeds"))
 
 
 def ivf_params_for(
@@ -549,7 +549,7 @@ def ivf_probe_topk(
     `exclude_id` to drop a known corpus row (self-match)."""
     q = np.asarray(query_vec, dtype=np.float64)
     data, _v = _idx_current(path)
-    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
+    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
@@ -560,7 +560,7 @@ def ivf_probe_topk(
     # stable tie-break toward the lower cell id, like ivf_assign
     order = np.lexsort((cells, -np.round(sims, 9)))
     probe = [int(c) for c in cells[order][:n_probe]]
-    idx = spark.read.parquet(data).filter(F.col("cell").isin(probe))
+    idx = spark.read.parquet(_sp(data)).filter(F.col("cell").isin(probe))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -598,7 +598,7 @@ def _batch_probe_guard(
     # dirs (`_current`, `_vK`), which Spark's listing hides, so reading
     # the root raises "unable to infer schema" instead of returning the
     # documented empty frame (r7 verdict #1)
-    id_type = dict(spark.read.parquet(_idx_current(path)[0]).dtypes)[id_col]
+    id_type = dict(spark.read.parquet(_sp(_idx_current(path)[0])).dtypes)[id_col]
     return spark.createDataFrame(
         [], f"query_id long, {id_col} {id_type}, cosine double"
     )
@@ -645,7 +645,7 @@ def ivf_probe_topk_batch(
     empty = _batch_probe_guard(spark, data, queries, max_batch, id_col)
     if empty is not None:
         return empty
-    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
+    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
@@ -669,7 +669,7 @@ def ivf_probe_topk_batch(
         rows, "query_id long, cell int, qvec array<double>"
     )
     probe_cells = sorted({c for _qid, c, _qv in rows})
-    idx = spark.read.parquet(data).filter(F.col("cell").isin(probe_cells))
+    idx = spark.read.parquet(_sp(data)).filter(F.col("cell").isin(probe_cells))
     cand = idx.select("cell", id_col, vec_col).join(
         F.broadcast(qdf), ["cell"]
     )
@@ -730,13 +730,13 @@ def lsh_build_index(
         bucketed.repartition("band", "bucket")
         .write.mode("overwrite")
         .partitionBy("band", "bucket")
-        .parquet(path)
+        .parquet(_sp(path))
     )
     params = vectors.sparkSession.createDataFrame(
         [(n_planes, n_bands, dim, seed)],
         "n_planes int, n_bands int, dim int, seed int",
     )
-    params.coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    params.coalesce(1).write.mode("overwrite").parquet(_sp(f"{path}/_params"))
     _LSH_PARAMS_CACHE[path] = (_params_stamp(path), (n_planes, n_bands, dim, seed))
 
 
@@ -765,7 +765,7 @@ def _lsh_index_params(spark, path: str) -> tuple:
     cached = _LSH_PARAMS_CACHE.get(path)
     if cached is not None and (stamp == -1 or cached[0] == stamp):
         return cached[1]
-    rows = spark.read.parquet(f"{path}/_params").collect()
+    rows = spark.read.parquet(_sp(f"{path}/_params")).collect()
     if not rows:
         raise ValueError(f"LSH index at {path} has no _params")
     r = rows[0]
@@ -805,7 +805,7 @@ def lsh_index_append(
     )
     if dedup_against_index:
         bucketed = bucketed.join(
-            spark.read.parquet(data).select(id_col, "band"),
+            spark.read.parquet(_sp(data)).select(id_col, "band"),
             [id_col, "band"],
             "left_anti",
         )
@@ -815,7 +815,7 @@ def lsh_index_append(
             bucketed.repartition("band", "bucket")
             .write.mode("append")
             .partitionBy("band", "bucket")
-            .parquet(data)
+            .parquet(_sp(data))
         )
     if n and _idx_current(path)[1] != v0:
         # zero-row appends (a dedup retry fully covered by the fold)
@@ -913,7 +913,7 @@ def lsh_probe_topk(
         c = (F.col("band") == band) & (F.col("bucket") == bucket)
         pred = c if pred is None else pred | c
     data, _v = _idx_current(path)
-    idx = spark.read.parquet(data).filter(pred)
+    idx = spark.read.parquet(_sp(data)).filter(pred)
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     cand = idx.select(id_col, vec_col).dropDuplicates([id_col])
@@ -1001,7 +1001,7 @@ def lsh_probe_topk_batch(
             sorted(by_band[band])
         )
         pred = c if pred is None else pred | c
-    idx = spark.read.parquet(data).filter(pred)
+    idx = spark.read.parquet(_sp(data)).filter(pred)
     cand = idx.select("band", "bucket", id_col, vec_col).join(
         F.broadcast(qdf), ["band", "bucket"]
     )
@@ -1077,6 +1077,26 @@ class IndexConflictError(RuntimeError):
     the table's CommitConflictError."""
 
 
+def _idx_fs(path: str):
+    """The index-protocol storage seam (plans/indexfs): local paths get
+    the round-7 local primitives; `s3://` paths run the SAME protocol
+    over the boto3 client surface the CAS commit log speaks — pointer
+    publish is an atomic put, the rival claim is a conditional put, the
+    fold is pooled server-side copies. Lazy import: plans pulls in the
+    table stack, which this operator module must not load at import."""
+    from qwatch_spark.plans.indexfs import indexfs_for
+
+    return indexfs_for(path)
+
+
+def _sp(p: str) -> str:
+    """Map an index-namespace path to what SPARK should address —
+    identity locally, `s3a://bucket/key` (or the test hook's mapping)
+    on an object store. Every spark.read/.write of index data goes
+    through this; the protocol itself stays in the index namespace."""
+    return _idx_fs(p).spark_path(p)
+
+
 def _idx_current(path: str) -> tuple[str, int]:
     """Resolve an IVF index's CURRENT data dir: `path/_current` (json
     `{"version": K}`) points at `path/_vK` (UNDERSCORE-prefixed — that
@@ -1088,29 +1108,18 @@ def _idx_current(path: str) -> tuple[str, int]:
     writes a complete new version dir BEFORE atomically swapping the
     pointer (write-before-publish, the fp_bloom rebuild discipline), so
     a probe or append that resolved the old version keeps a fully
-    intact dir under it until `ivf_vacuum` retires it."""
-    import json
-
-    try:
-        with open(os.path.join(path, "_current")) as fh:
-            v = int(json.load(fh)["version"])
-    except (OSError, ValueError, KeyError):
-        return path, -1
-    return os.path.join(path, f"_v{v}"), v
+    intact dir under it until `ivf_vacuum` retires it. Returns the
+    INDEX-namespace dir — map through `_sp` at Spark boundaries."""
+    v = _idx_fs(path).pointer_read(path)
+    return (path if v < 0 else f"{path.rstrip('/')}/_v{v}"), v
 
 
 def _idx_swap_current(path: str, version: int) -> None:
-    import json
-    import uuid
-
-    tmp = os.path.join(path, f".current-{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": int(version)}, fh)
-    os.replace(tmp, os.path.join(path, "_current"))  # atomic publish
+    _idx_fs(path).pointer_publish(path, version)  # atomic publish
 
 
 def _fold_marker(vdir: str) -> str:
-    return os.path.join(vdir, "_folding")
+    return f"{vdir.rstrip('/')}/_folding"
 
 
 def _wait_no_fold(path: str, timeout_s: float = 60.0) -> tuple[str, int]:
@@ -1134,9 +1143,10 @@ def _wait_no_fold(path: str, timeout_s: float = 60.0) -> tuple[str, int]:
     import time as _time
 
     deadline = _time.monotonic() + float(timeout_s)
+    fs = _idx_fs(path)
     while True:
         data, v = _idx_current(path)
-        if v < 0 or not os.path.exists(_fold_marker(data)):
+        if v < 0 or not fs.exists(_fold_marker(data)):
             return data, v
         if _time.monotonic() >= deadline:
             raise IndexConflictError(
@@ -1186,7 +1196,7 @@ def ivf_index_append(
     data, v0 = (
         _wait_no_fold(path) if dedup_against_index else _idx_current(path)
     )
-    seed_rows = spark.read.parquet(f"{data}/_seeds").collect()
+    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
     seeds = sorted(
@@ -1198,7 +1208,7 @@ def ivf_index_append(
     )
     if dedup_against_index:
         vectors = vectors.join(
-            spark.read.parquet(data).select(id_col), id_col, "left_anti"
+            spark.read.parquet(_sp(data)).select(id_col), id_col, "left_anti"
         )
     assigned = assign(vectors, seeds, id_col, vec_col)
     n = assigned.count()
@@ -1207,7 +1217,7 @@ def ivf_index_append(
             assigned.repartition(len(seeds), "cell")
             .write.mode("append")
             .partitionBy("cell")
-            .parquet(data)
+            .parquet(_sp(data))
         )
     if n and _idx_current(path)[1] != v0:
         # n == 0 wrote nothing, so a concurrent swap cannot have lost
@@ -1236,30 +1246,11 @@ def _append_via_move(df, vdir: str, partition_cols: list[str]) -> None:
     hard-renames the part files into their partition dirs — per-file
     atomic, no shared staging, same visibility semantics as any append
     (files appear one by one). Part filenames carry job UUIDs, so
-    renames cannot collide with the appender's files."""
-    import glob as _glob
-    import shutil
-    import uuid
-
-    scratch = os.path.join(
-        os.path.dirname(vdir), f".fold-{uuid.uuid4().hex}"
-    )
-    try:
-        (
-            df.repartition(*partition_cols)
-            .write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(scratch)
-        )
-        for src in _glob.glob(
-            os.path.join(scratch, *["*=*"] * len(partition_cols), "*.parquet")
-        ):
-            rel = os.path.relpath(src, scratch)
-            dst = os.path.join(vdir, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    renames cannot collide with the appender's files. The move
+    primitive is the storage seam's (`IndexFS.fold_move`): per-file
+    `os.rename` locally; pooled server-side `copy_object` on an object
+    store, where every object write is already per-file atomic."""
+    _idx_fs(vdir).fold_move(df, vdir, partition_cols)
 
 
 def ivf_maintain(
@@ -1294,11 +1285,13 @@ def ivf_maintain(
         rebuild and the fold below reason about exactly what was read;
       - the new version dir `path/_vK` is written COMPLETELY (cells,
         `_seeds`) before the `_current` pointer swaps to it atomically
-        (`os.replace`) — a reader that resolved the old version keeps a
-        fully intact dir;
-      - a rival maintainer is excluded by the version-dir claim
-        (mkdir is the CAS: FileExistsError → typed
-        `IndexConflictError`, rebase and retry next cycle);
+        (`os.replace` locally; an atomic-visibility object put on S3)
+        — a reader that resolved the old version keeps a fully intact
+        dir;
+      - a rival maintainer is excluded by the `_vK.claim`
+        create-exclusive claim (O_CREAT|O_EXCL locally, a conditional
+        put on S3: lost claim → typed `IndexConflictError`, rebase and
+        retry next cycle);
       - appends that COMMITTED into the old version during the rebuild
         (wrote + passed their version check before the swap) are not
         lost: after the swap, the old version's part files NOT in the
@@ -1336,24 +1329,30 @@ def ivf_maintain(
         reading them.
 
     Returns {"old_version", "new_version", "n", "n_cells_old",
-    "n_cells_new", "folded"}. Local-filesystem pointer ops, like the
-    fp_bloom index (an object-store port would CAS the pointer through
-    commit_backend, same as the table manifest)."""
-    import glob as _glob
+    "n_cells_new", "folded"}. Every protocol primitive — the pointer,
+    the rival claim, the file-snapshot listings, the fold move — goes
+    through the storage seam (`plans/indexfs`): local paths keep the
+    round-7 local-fs behavior; `s3://` paths run the SAME protocol over
+    conditional puts + paginated LISTs + server-side copies, so
+    maintenance is no longer cluster-inert on object storage (r7
+    verdict #1)."""
     import math
 
+    fs = _idx_fs(path)
     data, v0 = _idx_current(path)
 
     def cell_files() -> set[str]:
-        return set(_glob.glob(os.path.join(data, "cell=*", "*.parquet")))
+        return fs.list_parts(data, ("cell=*",))
 
-    old_seeds = spark.read.parquet(f"{data}/_seeds").collect()
+    old_seeds = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
     files0 = cell_files()
     if not files0:
         raise ValueError(f"IVF index at {path} has no data files")
     # partition dirs carry `cell`; reading explicit part files yields
     # just (id, embedding) — the rebuild re-derives cells anyway
-    corpus = spark.read.parquet(*sorted(files0)).select(id_col, vec_col)
+    corpus = spark.read.parquet(
+        *[fs.spark_path(f) for f in sorted(files0)]
+    ).select(id_col, vec_col)
     n = corpus.count()
     if n_cells is None:
         if target_cell_rows is not None:
@@ -1361,14 +1360,18 @@ def ivf_maintain(
         else:
             n_cells = max(1, int(round(math.sqrt(n))))
     new_v = v0 + 1
-    vdir = os.path.join(path, f"_v{new_v}")
-    try:
-        os.makedirs(vdir, exist_ok=False)  # the rival-maintainer CAS
-    except FileExistsError:
+    vdir = f"{path.rstrip('/')}/_v{new_v}"
+    # the rival-maintainer CAS: a create-exclusive claim FILE beside the
+    # version dir (not mkdir on the dir itself — the build's overwrite
+    # write would momentarily delete a mkdir-claim, opening a window
+    # where a rival's mkdir succeeds; a separate claim object has no
+    # such window, and on S3 it is the same conditional put the table
+    # commit log linearizes on)
+    if not fs.claim_version(path, new_v):
         raise IndexConflictError(
             f"ivf_maintain({path}): version {new_v} already claimed by "
             "a rival maintainer; rebase on the new current and retry"
-        ) from None
+        )
     ivf_build_index(
         corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         max_literals=max_literals, lloyd_iters=lloyd_iters,
@@ -1377,17 +1380,19 @@ def ivf_maintain(
     # definition start after observing the swap) wait on it, closing
     # the fold-vs-retry write skew; cleared only when the fold LANDS,
     # so a crashed fold fails retries typed instead of duplicating
-    with open(_fold_marker(vdir), "w") as fh:
-        fh.write("fold in progress; cleared when the delta fold lands")
+    fs.put_file(
+        _fold_marker(vdir),
+        "fold in progress; cleared when the delta fold lands",
+    )
     _idx_swap_current(path, new_v)  # publish: probes/appends flip here
     folded = 0
     delta = cell_files() - files0  # appends that landed mid-rebuild
     if delta:
         new_rows = (
-            spark.read.parquet(*sorted(delta))
+            spark.read.parquet(*[fs.spark_path(f) for f in sorted(delta)])
             .select(id_col, vec_col)
             .join(
-                spark.read.parquet(vdir).select(id_col),
+                spark.read.parquet(_sp(vdir)).select(id_col),
                 id_col,
                 "left_anti",
             )
@@ -1397,7 +1402,7 @@ def ivf_maintain(
         # this same dir right now (see _append_via_move)
         seeds2 = sorted(
             (int(r["cell"]), list(r[vec_col]))
-            for r in spark.read.parquet(f"{vdir}/_seeds").collect()
+            for r in spark.read.parquet(_sp(f"{vdir}/_seeds")).collect()
         )
         assign2 = (
             _assign_literal
@@ -1408,7 +1413,7 @@ def ivf_maintain(
         folded = assigned2.count()
         if folded:
             _append_via_move(assigned2, vdir, ["cell"])
-    os.remove(_fold_marker(vdir))  # fold landed: release dedup retries
+    fs.delete_file(_fold_marker(vdir))  # fold landed: release retries
     return {
         "old_version": v0,
         "new_version": new_v,
@@ -1429,30 +1434,33 @@ def _index_vacuum(
     keeps a probe that resolved the old version mid-swap safe, exactly
     like the table vacuum. Root metadata that stays live across
     versions (the LSH `_params`) is simply not in the legacy lists.
-    Returns the removed paths."""
+    Claim files of PUBLISHED versions (`_vK.claim`, K <= current) are
+    protocol junk — their version either swapped in or lost — and are
+    removed immediately (no retention: nothing reads a claim after its
+    version is decided); a claim for a version ABOVE current is an
+    in-flight (or crashed) maintainer and is left alone — removing a
+    crashed one is the operator-recovery step the module docstring
+    states. Runs entirely on the storage seam, so vacuum works on
+    object storage too. Returns the removed paths."""
     import re
-    import shutil
     import time as _time
 
+    fs = _idx_fs(path)
     _data, cur = _idx_current(path)
     if cur < 0:
         return []  # nothing versioned yet — nothing is superseded
     removed = []
     now = _time.time()
+    root = path.rstrip("/")
 
-    def tree_mtime(d: str) -> float:
-        mt = os.path.getmtime(d)
-        for root, _dirs, files in os.walk(d):
-            mt = max(mt, os.path.getmtime(root))
-            for f in files:
-                try:
-                    mt = max(mt, os.path.getmtime(os.path.join(root, f)))
-                except OSError:
-                    pass
-        return mt
-
-    for name in sorted(os.listdir(path)):
-        full = os.path.join(path, name)
+    for name in fs.root_entries(path):
+        full = f"{root}/{name}"
+        mc = re.fullmatch(r"_v(\d+)\.claim", name)
+        if mc:
+            if int(mc.group(1)) <= cur:
+                fs.delete_file(full)
+                removed.append(full)
+            continue
         m = re.fullmatch(r"_v(\d+)", name)
         legacy = (
             name.startswith(legacy_prefixes)
@@ -1461,11 +1469,11 @@ def _index_vacuum(
         )
         if m and int(m.group(1)) >= cur:
             continue
-        if not (m or legacy) or not os.path.isdir(full):
+        if not (m or legacy):
             continue
-        if now - tree_mtime(full) < retention_s:
+        if now - fs.tree_mtime(full) < retention_s:
             continue
-        shutil.rmtree(full, ignore_errors=True)
+        fs.delete_tree(full)
         removed.append(full)
     return removed
 
@@ -1510,46 +1518,49 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
         never change, so probes keep their mtime-stamped cache.
 
     Returns {"old_version", "new_version", "n_files_before",
-    "n_files_after", "folded"}."""
-    import glob as _glob
-
+    "n_files_after", "folded"}. All protocol primitives go through the
+    storage seam (`plans/indexfs`) — see `ivf_maintain`."""
+    fs = _idx_fs(path)
     data, v0 = _idx_current(path)
 
     def part_files() -> set[str]:
-        return set(_glob.glob(os.path.join(data, "band=*", "bucket=*", "*.parquet")))
+        return fs.list_parts(data, ("band=*", "bucket=*"))
 
     pinned = part_files()
     if not pinned:
         raise ValueError(f"LSH index at {path} has no data files")
-    rows = spark.read.option("basePath", data).parquet(*sorted(pinned))
+    rows = spark.read.option("basePath", fs.spark_path(data)).parquet(
+        *[fs.spark_path(f) for f in sorted(pinned)]
+    )
     new_v = v0 + 1
-    vdir = os.path.join(path, f"_v{new_v}")
-    try:
-        os.makedirs(vdir, exist_ok=False)  # the rival-maintainer CAS
-    except FileExistsError:
+    vdir = f"{path.rstrip('/')}/_v{new_v}"
+    # create-exclusive claim file — see ivf_maintain's CAS note
+    if not fs.claim_version(path, new_v):
         raise IndexConflictError(
             f"lsh_maintain({path}): version {new_v} already claimed by "
             "a rival maintainer; rebase on the new current and retry"
-        ) from None
+        )
     (
         rows.repartition("band", "bucket")
         .write.mode("overwrite")
         .partitionBy("band", "bucket")
-        .parquet(vdir)
+        .parquet(_sp(vdir))
     )
     # fold-in-progress marker BEFORE the swap (write-skew guard for
     # dedup retries; same protocol + crash semantics as ivf_maintain)
-    with open(_fold_marker(vdir), "w") as fh:
-        fh.write("fold in progress; cleared when the delta fold lands")
+    fs.put_file(
+        _fold_marker(vdir),
+        "fold in progress; cleared when the delta fold lands",
+    )
     _idx_swap_current(path, new_v)  # publish: probes/appends flip here
     folded = 0
     delta = part_files() - pinned
     if delta:
         new_rows = (
-            spark.read.option("basePath", data)
-            .parquet(*sorted(delta))
+            spark.read.option("basePath", fs.spark_path(data))
+            .parquet(*[fs.spark_path(f) for f in sorted(delta)])
             .join(
-                spark.read.parquet(vdir).select(id_col, "band"),
+                spark.read.parquet(_sp(vdir)).select(id_col, "band"),
                 [id_col, "band"],
                 "left_anti",
             )
@@ -1559,10 +1570,8 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
             # committer-free move: a live appender may be writing this
             # same dir (see _append_via_move)
             _append_via_move(new_rows, vdir, ["band", "bucket"])
-    os.remove(_fold_marker(vdir))  # fold landed: release dedup retries
-    n_after = len(
-        _glob.glob(os.path.join(vdir, "band=*", "bucket=*", "*.parquet"))
-    )
+    fs.delete_file(_fold_marker(vdir))  # fold landed: release retries
+    n_after = len(fs.list_parts(vdir, ("band=*", "bucket=*")))
     return {
         "old_version": v0,
         "new_version": new_v,

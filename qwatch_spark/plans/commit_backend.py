@@ -253,6 +253,156 @@ class FakeS3Client:
             self._bucket(Bucket).pop(Key, None)
         return {}
 
+    def copy_object(self, Bucket: str, Key: str, CopySource: dict):
+        """Server-side copy (the object store's 'rename'): CopySource is
+        boto3's {"Bucket": ..., "Key": ...} form."""
+        with self._lock:
+            src = self._bucket(CopySource["Bucket"]).get(CopySource["Key"])
+            if src is None:
+                raise S3ClientError("NoSuchKey", CopySource["Key"])
+            self._bucket(Bucket)[Key] = src
+        return {}
+
+
+class DirBackedFakeS3Client:
+    """The boto3 client surface over a REAL directory: object
+    `bucket/key` is the file `<root>/bucket/key`. What it exists for —
+    the ANN serving indexes' data plane is read AND written by SPARK
+    (probes scan part files, appends/maintenance write them), so a
+    purely in-memory fake cannot exercise the index protocol
+    end-to-end. Rooting the fake at a directory gives the test the same
+    two-views-of-one-store shape a real deployment has: Spark reads and
+    writes through the filesystem path (production: the s3a connector
+    against the bucket), while the protocol's control plane — pointer
+    publishes, conditional-put claims, LISTs, ranged GETs, copy folds —
+    speaks the boto3 surface against the SAME bytes.
+
+    Semantics match S3 where the protocol depends on them:
+      - `put_object` is atomic-visibility (tmp file + os.replace) —
+        readers never see a torn object;
+      - `put_object(IfNoneMatch="*")` is a true cross-PROCESS CAS
+        (O_CREAT|O_EXCL), so multi-process stress tests are honest;
+      - listings are lexicographic with Size + LastModified and
+        paginate (page_size=2 default, like FakeS3Client, so every
+        test exercises the pagination loop);
+      - `copy_object` copies bytes (no rename shortcut — object stores
+        have no rename, and the protocol must not assume one).
+    Directories as such don't exist: empty dirs are invisible to
+    listings, exactly like prefixes on S3."""
+
+    def __init__(self, root: str, page_size: int = 2):
+        self.root = os.path.realpath(root)
+        self.page_size = int(page_size)
+
+    def _path(self, bucket: str, key: str) -> str:
+        p = os.path.realpath(os.path.join(self.root, bucket, key))
+        if not p.startswith(self.root + os.sep):
+            raise ValueError(f"key escapes the store root: {bucket}/{key}")
+        return p
+
+    def put_object(self, Bucket: str, Key: str, Body, IfNoneMatch: str | None = None):
+        data = (
+            bytes(Body)
+            if isinstance(Body, (bytes, bytearray))
+            else str(Body).encode()
+        )
+        dst = self._path(Bucket, Key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if IfNoneMatch == "*":
+            try:  # O_EXCL: atomic create-or-fail, across processes
+                fd = os.open(dst, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                raise S3ClientError("PreconditionFailed", Key) from None
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            return {}
+        tmp = f"{dst}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dst)  # atomic visibility, like an S3 put
+        return {}
+
+    def _keys(self, bucket: str, prefix: str) -> list[str]:
+        base = os.path.join(self.root, bucket)
+        out = []
+        for dirpath, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".tmp"):
+                    continue  # in-flight atomic puts are not objects
+                key = os.path.relpath(os.path.join(dirpath, f), base)
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+    def list_objects_v2(
+        self,
+        Bucket: str,
+        Prefix: str = "",
+        ContinuationToken: str | None = None,
+        MaxKeys: int | None = None,
+    ):
+        keys = self._keys(Bucket, Prefix)
+        if ContinuationToken is not None:
+            keys = [k for k in keys if k > ContinuationToken]
+        page = keys[: MaxKeys or self.page_size]
+        contents = []
+        for k in page:
+            p = self._path(Bucket, k)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # deleted between walk and stat
+            contents.append(
+                {"Key": k, "Size": st.st_size, "LastModified": st.st_mtime}
+            )
+        out: dict = {"Contents": contents}
+        if len(keys) > len(page):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = page[-1]
+        else:
+            out["IsTruncated"] = False
+        return out
+
+    def get_object(self, Bucket: str, Key: str, Range: str | None = None):
+        import io
+
+        try:
+            with open(self._path(Bucket, Key), "rb") as fh:
+                data = fh.read()
+        except FileNotFoundError:
+            raise S3ClientError("NoSuchKey", Key) from None
+        if Range is not None:
+            spec = Range.split("=", 1)[1]
+            a, _, b = spec.partition("-")
+            data = data[int(a): int(b) + 1]
+        return {"Body": io.BytesIO(data)}
+
+    def head_object(self, Bucket: str, Key: str):
+        p = self._path(Bucket, Key)
+        if not os.path.isfile(p):  # a prefix/dir is not an object
+            raise S3ClientError("NoSuchKey", Key)
+        return {"ContentLength": os.path.getsize(p)}
+
+    def delete_object(self, Bucket: str, Key: str):
+        try:
+            os.unlink(self._path(Bucket, Key))
+        except (FileNotFoundError, IsADirectoryError):
+            # a prefix is not an object on S3: deleting it is a no-op
+            # (empty dirs the unlinks leave behind are likewise
+            # invisible to listings, so they need no cleanup)
+            pass
+        return {}
+
+    def copy_object(self, Bucket: str, Key: str, CopySource: dict):
+        try:
+            with open(
+                self._path(CopySource["Bucket"], CopySource["Key"]), "rb"
+            ) as fh:
+                data = fh.read()
+        except FileNotFoundError:
+            raise S3ClientError("NoSuchKey", CopySource["Key"]) from None
+        return self.put_object(Bucket, Key, data)
+
 
 class S3CasBackend(CasBackend):
     """CAS slot store on S3 conditional writes: slot `n` is the object

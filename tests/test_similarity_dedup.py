@@ -938,10 +938,13 @@ def test_ivf_append_conflict_is_typed_and_retry_dedups(
 
 
 def test_ivf_maintain_rival_claim_and_vacuum(spark, tmp_path):
-    """Two maintainers: the version-dir mkdir is the CAS — the loser
-    gets the typed conflict and nothing is corrupted. ivf_vacuum
-    retires superseded versions (and the legacy flat layout) only past
-    the retention window."""
+    """Two maintainers: the create-exclusive `_vK.claim` file is the
+    CAS — the loser gets the typed conflict and nothing is corrupted.
+    (A claim FILE, not mkdir on the version dir: the build's overwrite
+    write would momentarily delete a mkdir-claim.) ivf_vacuum retires
+    superseded versions (and the legacy flat layout) only past the
+    retention window, and clears the now-junk claims of published
+    versions."""
     import os as _os
 
     from qwatch_spark.operators.similarity import (
@@ -955,15 +958,21 @@ def test_ivf_maintain_rival_claim_and_vacuum(spark, tmp_path):
     rows, df = _clustered_corpus(spark, 150)
     path = str(tmp_path / "ivf")
     ivf_build_index(df, path, n_cells=8)
-    _os.makedirs(_os.path.join(path, "_v0"))  # rival already claimed it
+    # rival already claimed version 0 (what fs.claim_version creates)
+    open(_os.path.join(path, "_v0.claim"), "w").close()
     with pytest.raises(IndexConflictError, match="rival"):
         ivf_maintain(spark, path, n_cells=12)
-    _os.rmdir(_os.path.join(path, "_v0"))
+    _os.remove(_os.path.join(path, "_v0.claim"))
     out = ivf_maintain(spark, path, n_cells=12)
     assert out["new_version"] == 0
+    # the winner's own claim is junk once v0 published; vacuum removes
+    # it even inside retention (claims carry no reader guarantees)
+    assert _os.path.exists(_os.path.join(path, "_v0.claim"))
     # legacy layout still on disk (a mid-swap reader may hold it) ...
     assert any(d.startswith("cell=") for d in _os.listdir(path))
-    assert ivf_vacuum(path, retention_s=3600) == []  # inside retention
+    inside = ivf_vacuum(path, retention_s=3600)  # inside retention:
+    assert inside == [_os.path.join(path, "_v0.claim")]  # claim only
+    assert not _os.path.exists(_os.path.join(path, "_v0.claim"))
     removed = ivf_vacuum(path, retention_s=0)
     assert removed, "superseded legacy dirs must be vacuumed"
     assert not any(d.startswith("cell=") for d in _os.listdir(path))
