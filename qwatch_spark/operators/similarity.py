@@ -349,24 +349,63 @@ def _ivf_codebook(
     vec_col: str,
     max_literals: int,
     lloyd_iters: int,
+    seed_strategy: str = "first_ids",
 ):
     """Derive the FINAL (possibly Lloyd-refined) codebook plus the
     matching assign function. Split out so ivf_build_index can persist
     the refined centroids to `_seeds` — probes and appends must quantize
     with the same codebook the build partitioned by, or cell selection
-    degrades recall."""
-    seed_rows = (
-        vectors.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
-        .orderBy("_cell")
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError(
-            f"ivf_assign: no seed vectors (no rows with {id_col} < {n_cells}); "
-            "the corpus is empty or ids do not start near 0"
+    degrades recall.
+
+    `seed_strategy` picks the medoid seeds:
+      - "first_ids": the `n_cells` smallest ids — exactly mirrorable by
+        a SQL oracle (q52's contract; keep for `ivf_assign`). The bias:
+        in an APPEND-GROWN corpus the smallest ids are the OLDEST rows,
+        so a recluster of a drifted corpus re-seeds from stale data and
+        leans on Lloyd to recover (r7 verdict #3).
+      - "uniform": a deterministic uniform sample — the `n_cells` rows
+        with the smallest `md5(salt || id)` (hash order is uniform over
+        ids but independent of insertion age, and the (hash, id) total
+        order makes the sample exactly reproducible regardless of
+        partitioning — unlike df.sample, whose draw depends on the
+        partition layout). Cells are labeled 0..k-1 in hash order.
+        `ivf_maintain` defaults to this, so reclustering seeds from the
+        corpus AS IT IS, not as it started."""
+    if seed_strategy == "uniform":
+        seed_rows = (
+            vectors.select(F.col(id_col).alias("_sid"), F.col(vec_col))
+            .orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit("ivf-seed:"), F.col("_sid").cast("string")
+                    )
+                ),
+                F.col("_sid"),
+            )
+            .limit(n_cells)
+            .collect()
         )
-    seeds = [(int(r["_cell"]), list(r[vec_col])) for r in seed_rows]
+        if not seed_rows:
+            raise ValueError("ivf codebook: the corpus is empty")
+        seeds = [(c, list(r[vec_col])) for c, r in enumerate(seed_rows)]
+    elif seed_strategy == "first_ids":
+        seed_rows = (
+            vectors.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).cast("long").alias("_cell"), F.col(vec_col))
+            .orderBy("_cell")
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError(
+                f"ivf_assign: no seed vectors (no rows with {id_col} < "
+                f"{n_cells}); the corpus is empty or ids do not start near 0"
+            )
+        seeds = [(int(r["_cell"]), list(r[vec_col])) for r in seed_rows]
+    else:
+        raise ValueError(
+            f"unknown seed_strategy {seed_strategy!r} "
+            "(expected 'first_ids' or 'uniform')"
+        )
     dim = len(seeds[0][1])
     assign = _assign_literal if n_cells * dim <= max_literals else _assign_pandas
 
@@ -462,6 +501,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     max_literals: int = 4096,
     lloyd_iters: int = 0,
+    seed_strategy: str = "first_ids",
 ) -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet layout —
     the physical form that makes probes partition-pruned reads instead
@@ -476,7 +516,8 @@ def ivf_build_index(
     it from index reads automatically."""
     _guard_fresh_build(path, "ivf_build_index", "ivf_maintain")
     seeds, assign = _ivf_codebook(
-        vectors, n_cells, id_col, vec_col, max_literals, lloyd_iters
+        vectors, n_cells, id_col, vec_col, max_literals, lloyd_iters,
+        seed_strategy=seed_strategy,
     )
     assigned = assign(vectors, seeds, id_col, vec_col)
     (
@@ -1262,6 +1303,7 @@ def ivf_maintain(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_literals: int = 4096,
+    seed_strategy: str = "uniform",
 ) -> dict:
     """Recluster a grown IVF index against its CURRENT corpus — the
     maintenance-cadence answer to codebook drift (r6 verdict #2):
@@ -1275,9 +1317,15 @@ def ivf_maintain(
     Sizing: `n_cells` wins if given; else `n / target_cell_rows`
     (restore a chosen per-cell row count — pass the build-time cell
     size to bring per-probe cost back to build-time levels exactly);
-    else the √n rule (`ivf_params_for`). The codebook re-derives with
-    the same deterministic medoid seeding + `lloyd_iters` refinement
-    the build uses, over the CURRENT corpus.
+    else the √n rule (`ivf_params_for`). The codebook re-derives over
+    the CURRENT corpus with `seed_strategy="uniform"` by default — a
+    deterministic hash-ordered uniform sample — NOT the build's
+    id-ordered medoids: in an append-grown corpus the smallest ids are
+    the oldest rows, so id-seeding a drifted corpus would plant every
+    seed in yesterday's distribution and lean on Lloyd to crawl toward
+    the new content (r7 verdict #3; the drift test pins recall@10 ≥ 0.9
+    for queries from the newly-appended regime). `lloyd_iters`
+    refinement then runs exactly as at build time.
 
     Visibility/concurrency (the fp_bloom discipline, adapted):
       - the rebuild's input is a pinned FILE SNAPSHOT of the old
@@ -1375,6 +1423,7 @@ def ivf_maintain(
     ivf_build_index(
         corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         max_literals=max_literals, lloyd_iters=lloyd_iters,
+        seed_strategy=seed_strategy,
     )
     # fold-in-progress marker BEFORE the swap: dedup retries (which by
     # definition start after observing the swap) wait on it, closing

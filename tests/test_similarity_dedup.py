@@ -210,6 +210,68 @@ def test_ivf_lloyd_refinement_deterministic(emb):
     assert a1 != a0
 
 
+def test_ivf_maintain_uniform_seeding_survives_drift(spark, tmp_path):
+    """r7 verdict #3: id-ordered seeding re-seeds a recluster from the
+    OLDEST rows, so maintaining a corpus whose distribution drifted
+    (new content clusters appended over time) planted every seed in
+    yesterday's data. `ivf_maintain` now seeds from a deterministic
+    uniform sample: build on regime A, append 10× of regime B (disjoint
+    cluster structure, ids strictly above A's), maintain — recall@10
+    for B-queries must hold ≥ 0.9, and the sample must be exactly
+    reproducible (hash total order, not partition-dependent df.sample)."""
+    import qwatch_spark.operators.similarity as sim
+
+    dim, nA, nB = 16, 100, 1000
+    rng = np.random.default_rng(11)
+    centersA = rng.normal(0.0, 1.0, (8, dim))
+    centersB = rng.normal(0.0, 1.0, (25, dim)) + 3.0  # drifted regime
+    rows = [
+        (i, [float(x) for x in centersA[i % 8] + rng.normal(0, 0.05, dim)])
+        for i in range(nA)
+    ] + [
+        (
+            nA + j,
+            [
+                float(x)
+                for x in centersB[j % 25] + rng.normal(0, 0.05, dim)
+            ],
+        )
+        for j in range(nB)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    sim.ivf_build_index(
+        df.filter(F.col("vec_id") < nA), path, n_cells=10, lloyd_iters=5
+    )
+    for lo in range(nA, nA + nB, 250):
+        sim.ivf_index_append(
+            df.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 250)
+            ),
+            path,
+        )
+    out = sim.ivf_maintain(spark, path, n_cells=33, lloyd_iters=5)
+    assert out["n"] == nA + nB and out["n_cells_new"] == 33
+    # uniform seeding is exactly reproducible run-to-run
+    s1, _ = sim._ivf_codebook(df, 33, "vec_id", "embedding", 4096, 0,
+                              seed_strategy="uniform")
+    s2, _ = sim._ivf_codebook(df, 33, "vec_id", "embedding", 4096, 0,
+                              seed_strategy="uniform")
+    assert s1 == s2
+    # ... and actually samples the drifted regime (B is 10/11 of the
+    # corpus; id-seeding would have taken 33/33 seeds from A)
+    b_vecs = {tuple(vec) for _i, vec in rows[nA:]}
+    n_b_seeds = sum(1 for _c, v in s1 if tuple(v) in b_vecs)
+    assert n_b_seeds >= 20, f"only {n_b_seeds}/33 seeds from regime B"
+    qids = [nA + 3, nA + 137, nA + 555, nA + 999]
+    recall = _recall_at10(spark, path, rows, qids, n_probe=6)
+    assert recall >= 0.9, f"B-query recall after drift maintain: {recall}"
+    # unknown strategies fail loudly
+    with pytest.raises(ValueError, match="seed_strategy"):
+        sim._ivf_codebook(df, 8, "vec_id", "embedding", 4096, 0,
+                          seed_strategy="nope")
+
+
 def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
     """Built IVF index: probing must read ONLY the probed cells'
     partition directories (the 10^9-vector scale path), and the probe's
