@@ -705,7 +705,39 @@ def main() -> None:
         **getattr(_ivf_maintain, "stats", {}),
     }
     spark.stop()
-    print(json.dumps(out))
+    # The FULL artifact (per-entry trials arrays, phase walls, extra
+    # stats) goes to a file: both r6 and r7 driver runs recorded
+    # "parsed": null because this dict as ONE stdout line overflowed
+    # the driver's capture (r7 verdict #6). Stdout gets the compact
+    # contract line — metric/value/unit/queries/sf plus the headline
+    # throughputs — small enough to never truncate; the file path is
+    # included so a reader can find the rest.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "bench_full_latest.json",
+    )
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "full_artifact": "BENCH/bench_full_latest.json",
+    }
+    for k in (
+        "cdc_events_per_sec",
+        "stream_events_per_sec",
+        "entity_events_per_sec",
+        "entity_stream_events_per_sec",
+    ):
+        if k in out:
+            compact[k] = out[k]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
