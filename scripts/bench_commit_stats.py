@@ -133,6 +133,38 @@ def main() -> None:
     for a in arms.values():
         assert _delta_footer_stats(a["s3_out"], a["touched"]) == \
             _delta_footer_stats(a["out"], a["touched"])
+
+    # ---- task-side arm (r7 verdict #8): stats harvested DURING the
+    # write via observe() metrics vs the post-write footer read vs the
+    # aggregate job. Measured as whole apply epochs on fresh tables so
+    # the observe expressions' cost on the write stage is visible (6
+    # conditional aggregates per bucket per row — the reason "auto"
+    # cuts over to footers at high bucket counts): at n_buckets=64 the
+    # harvest should be free; at 512 the write-stage overhead is the
+    # honest price tag next to the footer path's post-write wall.
+    task_trials = int(os.environ.get("TASK_TRIALS", "3"))
+    task_arm: dict = {}
+    feed = gen_feed_df(spark, ROWS).drop("epoch_hint")
+    feed = feed.localCheckpoint()  # same materialized input every trial
+    for i in range(task_trials):
+        for nb in (64, 512):
+            for mode in ("task", "footer", "job"):
+                cfg = PipelineConfig(
+                    n_buckets=nb, write_mode="delta", commit_stats_mode=mode
+                )
+                p = os.path.join(work, f"ta_{mode}{nb}_{i}")
+                t = SnapshotTable.create(p, n_buckets=nb)
+                stats = apply_changes(spark, feed, t, 0, cfg)
+                e = task_arm.setdefault(
+                    f"{mode}_{nb}", {"write": [], "commit_stats": []}
+                )
+                e["write"].append(round(stats.phases["write"], 4))
+                e["commit_stats"].append(
+                    round(stats.phases["commit_stats"], 4)
+                )
+    task_best = {
+        k: {ph: min(ws) for ph, ws in v.items()} for k, v in task_arm.items()
+    }
     # stop the JVM before timing: hundreds of idle executor threads add
     # wakeup-latency noise to the 256-thread RTT waves we're measuring
     spark.stop()
@@ -210,6 +242,8 @@ def main() -> None:
         "engine_excess_ratio_512_over_64": round(excess_ratio, 3),
         "engine_flat_within_2x": excess_ratio <= 2.0,
         "sequential_model_walls": seq_model,
+        "task_arm_best": task_best,
+        "task_arm_trials": task_arm,
         "local_trials_64": arms[64]["local"],
         "local_trials_512": arms[512]["local"],
         "remote_trials_64": arms[64]["remote"],
