@@ -49,17 +49,34 @@ work moves to the rebuild, which maintenance already amortizes.
 Reference analog: qwatch has no dedup story at all — every event
 re-MERGEs into Neo4j unconditionally (outputs/neo4j.go:474-506); this
 index is what lets the same semantics survive a 10^10-event feed.
+
+Storage: every file operation goes through the `plans/indexfs` seam —
+the same one the ANN serving indexes run their pointer protocol on —
+so the bloom index works where a 100 TB table's side indexes actually
+live: local paths keep plain file ops; an `s3://` table stores
+segments as objects (atomic puts, one LIST per listing, GETs for
+loads). The probe UDF runs on EXECUTORS, where driver-set class hooks
+do not exist, so the Column captures a picklable `indexfs_spec` and
+rebuilds the client worker-side. Segment files are write-once under
+nonce-unique names (the table part-file contract), which is what lets
+remote caches trust the name without a freshness stamp.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
-import tempfile
 import time
 
 import numpy as np
 import pandas as pd
+
+from qwatch_spark.plans.indexfs import (
+    indexfs_for,
+    indexfs_from_spec,
+    indexfs_spec,
+)
 
 BLOOM_DIR = "_fp_bloom"
 META_FILE = "_meta.json"
@@ -130,24 +147,35 @@ class _Bloom:
         return hit
 
 
-def _load_segment(path: str) -> tuple[int, np.ndarray] | None:
+def _load_segment(fs, path: str) -> tuple[int, np.ndarray] | None:
     """None ONLY when the file no longer exists (consolidated away by a
     concurrent rebuild/merge — the caller must then fall back to the
     directory's CURRENT files, which the superset discipline guarantees
     cover everything committed). A file that exists but cannot be
     parsed raises: silently skipping a corrupt filter would turn an
-    I/O problem into missed duplicates (a false 'definitely new')."""
-    try:
-        key = (path, os.stat(path).st_mtime_ns)
-    except FileNotFoundError:
-        return None
-    cached = _SEG_CACHE.get(key)
-    if cached is None:
+    I/O problem into missed duplicates (a false 'definitely new').
+
+    Cache validity: local files stamp with mtime_ns (an external
+    rebuild at the same path must never serve a dead snapshot); object
+    stores carry `immutable_blobs` — segment names are nonce-unique and
+    write-once, so the name alone keys the cache and a cached entry is
+    served without any round-trip (a vanished-but-cached segment is a
+    harmless superset: its coverage was folded into newer files)."""
+    if getattr(fs, "immutable_blobs", False):
+        key = (path, 0)
+    else:
         try:
-            with np.load(path) as z:
-                cached = (int(z["m_bits"][0]), z["words"].astype(np.uint64))
+            key = (path, fs.stamp(path))
         except FileNotFoundError:
             return None
+    cached = _SEG_CACHE.get(key)
+    if cached is None:
+        data = fs.get_bytes(path)
+        if data is None:
+            return None
+        try:
+            with np.load(io.BytesIO(data)) as z:
+                cached = (int(z["m_bits"][0]), z["words"].astype(np.uint64))
         except (OSError, KeyError, ValueError) as e:
             raise ValueError(f"corrupt bloom segment {path}: {e}") from e
         # evict stale snapshots of the same file (mtime changed)
@@ -161,18 +189,28 @@ class FpBloomIndex:
     """The `<table>/_fp_bloom/` directory: segments + enablement meta."""
 
     def __init__(self, table_path: str):
-        self.dir = os.path.join(table_path, BLOOM_DIR)
+        self.dir = (
+            f"{table_path.rstrip('/')}/{BLOOM_DIR}"
+            if "://" in table_path
+            else os.path.join(table_path, BLOOM_DIR)
+        )
+        self.fs = indexfs_for(table_path)
+
+    def _p(self, name: str) -> str:
+        return f"{self.dir}/{name}" if "://" in self.dir else os.path.join(
+            self.dir, name
+        )
 
     # ---------- lifecycle ----------
 
     def enabled(self) -> bool:
-        return os.path.exists(os.path.join(self.dir, META_FILE))
+        return self.fs.exists(self._p(META_FILE))
 
     def requested(self) -> bool:
         """Enablement has been requested (fp_index="auto" crossed its
         row threshold) but the one-time bootstrap rebuild hasn't run
         yet — maintenance performs it; see `request_enable`."""
-        return os.path.exists(os.path.join(self.dir, REQUEST_FILE))
+        return self.fs.exists(self._p(REQUEST_FILE))
 
     def request_enable(self) -> None:
         """Mark the index for enablement WITHOUT paying the O(table)
@@ -185,38 +223,25 @@ class FpBloomIndex:
         epochs committed during the request window are covered even if
         the bootstrap's live-row snapshot predates them — double
         coverage is a harmless superset."""
-        os.makedirs(self.dir, exist_ok=True)
-        marker = os.path.join(self.dir, REQUEST_FILE)
-        if not os.path.exists(marker):
-            with open(marker, "w") as fh:
-                fh.write(str(time.time()))
+        marker = self._p(REQUEST_FILE)
+        if not self.fs.exists(marker):
+            self.fs.put_file(marker, str(time.time()))
 
     def segment_paths(self) -> list[str]:
-        if not os.path.isdir(self.dir):
-            return []
-        return sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.endswith(".npz")
-        )
+        return self.fs.list_files(self.dir, ".npz")
 
     def _write_filter(self, name: str, bloom: _Bloom) -> str:
-        os.makedirs(self.dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        os.close(fd)
-        try:
-            with open(tmp, "wb") as fh:
-                np.savez(
-                    fh,
-                    m_bits=np.array([bloom.m_bits], dtype=np.int64),
-                    words=bloom.words,
-                )
-            final = os.path.join(self.dir, name)
-            os.replace(tmp, final)  # readers see whole files only
-            return final
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            m_bits=np.array([bloom.m_bits], dtype=np.int64),
+            words=bloom.words,
+        )
+        final = self._p(name)
+        # atomic visibility either way: tmp+rename locally, an object
+        # put on a store — readers see whole files only
+        self.fs.put_bytes(final, buf.getvalue())
+        return final
 
     # ---------- distributed build ----------
 
@@ -291,7 +316,7 @@ class FpBloomIndex:
         by_m: dict[int, list[tuple[str, int]]] = {}
         loaded: dict[str, tuple[int, np.ndarray]] = {}
         for p, epoch in segs:
-            seg = _load_segment(p)
+            seg = _load_segment(self.fs, p)
             if seg is None:
                 continue
             loaded[p] = seg
@@ -308,11 +333,10 @@ class FpBloomIndex:
                 f"seg-e{top}-m{os.urandom(4).hex()}.npz", _Bloom(m_bits, words)
             )
             for p, _epoch in members:
-                try:
-                    os.unlink(p)
-                    removed += 1
-                except OSError:
-                    pass  # a racing merger got it first — already folded
+                # delete is idempotent: a racing merger that already
+                # removed it is fine — the coverage is already folded
+                self.fs.delete_file(p)
+                removed += 1
         return removed
 
     def rebuild(self, spark, table) -> str:
@@ -357,27 +381,24 @@ class FpBloomIndex:
         path = self._write_filter(
             f"full-w{committed}-{os.urandom(4).hex()}.npz", bloom
         )
-        os.makedirs(self.dir, exist_ok=True)
-        meta = os.path.join(self.dir, META_FILE)
-        if not os.path.exists(meta):
-            with open(meta, "w") as fh:
-                json.dump(
+        meta = self._p(META_FILE)
+        if not self.fs.exists(meta):
+            self.fs.put_file(
+                meta,
+                json.dumps(
                     {"k": K_HASHES, "bits_per_key": BITS_PER_KEY,
-                     "created_at": time.time()},
-                    fh,
-                )
+                     "created_at": time.time()}
+                ),
+            )
         for p in old:
-            name = os.path.basename(p)
+            name = p.rsplit("/", 1)[-1]
             if name.startswith("seg-e"):
                 try:
                     epoch = int(name.split("-")[1][1:])
                 except ValueError:
                     continue
                 if epoch <= committed:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
+                    self.fs.delete_file(p)
             elif name.startswith("full-w"):
                 try:
                     # full-w{W}-{hex}.npz, W may be NEGATIVE (-1 = a
@@ -387,14 +408,9 @@ class FpBloomIndex:
                 except ValueError:
                     continue
                 if w <= committed:
-                    try:
-                        os.unlink(p)  # superseded consolidation
-                    except OSError:
-                        pass
-        try:  # the bootstrap this marker requested has now run
-            os.unlink(os.path.join(self.dir, REQUEST_FILE))
-        except OSError:
-            pass
+                    self.fs.delete_file(p)  # superseded consolidation
+        # the bootstrap this marker requested has now run
+        self.fs.delete_file(self._p(REQUEST_FILE))
         return path
 
     # ---------- the gate-side probe ----------
@@ -412,9 +428,15 @@ class FpBloomIndex:
 
         path_set = set(paths)
         idx_dir = self.dir
+        # the UDF body runs in EXECUTOR workers, where driver-set class
+        # hooks (S3CasBackend.client_factory) do not exist — the
+        # picklable spec rides the closure and rebuilds the client
+        # worker-side (local tables carry a stateless LocalIndexFS)
+        fs_spec = indexfs_spec(idx_dir)
 
         @F.pandas_udf("boolean")
         def probe(fps: pd.Series) -> pd.Series:
+            fs = indexfs_from_spec(fs_spec)
             # evict cache entries for THIS index's segments that no
             # longer exist (consolidated away by rebuild) — a
             # long-running worker otherwise accumulates dead filters
@@ -433,7 +455,7 @@ class FpBloomIndex:
                 hit = np.zeros(len(vals), dtype=bool)
                 probe_paths = list(paths)
                 for p in probe_paths:
-                    seg = _load_segment(p)
+                    seg = _load_segment(fs, p)
                     if seg is None:
                         # a listed segment vanished mid-probe (a
                         # concurrent rebuild/merge consolidated it):
@@ -442,11 +464,7 @@ class FpBloomIndex:
                         # CURRENT listing is a complete superset —
                         # extend the probe with any files we have not
                         # already tested
-                        current = sorted(
-                            os.path.join(idx_dir, f)
-                            for f in os.listdir(idx_dir)
-                            if f.endswith(".npz")
-                        )
+                        current = fs.list_files(idx_dir, ".npz")
                         probe_paths += [
                             c for c in current if c not in probe_paths
                         ]

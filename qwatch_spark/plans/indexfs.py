@@ -59,6 +59,11 @@ class IndexFS:
     needs. All paths are in the index namespace; `spark_path` maps to
     what the Spark reader/writer should address."""
 
+    # True when every blob the engine writes here is write-once under a
+    # content-unique name (the object-store contract): caches may then
+    # key on the name alone, no freshness stamp needed
+    immutable_blobs = False
+
     def spark_path(self, p: str) -> str:
         raise NotImplementedError
 
@@ -85,6 +90,32 @@ class IndexFS:
     def put_file(self, p: str, data: str) -> None:
         """Small control file (the `_folding` marker), atomic enough
         that a reader sees nothing or all of it."""
+        raise NotImplementedError
+
+    def put_bytes(self, p: str, data: bytes) -> None:
+        """Binary blob with atomic visibility (a reader never sees a
+        torn file) — the fp-bloom segment write primitive."""
+        raise NotImplementedError
+
+    def get_bytes(self, p: str) -> bytes | None:
+        """Blob contents, or None when the object does not exist (a
+        concurrent consolidation removed it — callers re-list)."""
+        raise NotImplementedError
+
+    def list_files(self, d: str, suffix: str) -> list[str]:
+        """Sorted full paths of files DIRECTLY under `d` ending in
+        `suffix` ([] when the dir is missing) — the bloom-segment
+        listing; ONE LIST round-trip on object stores."""
+        raise NotImplementedError
+
+    def stamp(self, p: str) -> int:
+        """Cache-validation stamp for `p`: local files return mtime_ns
+        (an overwrite bumps it, so process caches can never serve a
+        dead snapshot); object stores return 0 — every blob the engine
+        writes there is write-once under a nonce-unique name, so the
+        name alone identifies the content (the same immutability
+        contract the table's part files carry). Raises FileNotFoundError
+        when the file is missing."""
         raise NotImplementedError
 
     def delete_file(self, p: str) -> None:
@@ -166,6 +197,38 @@ class LocalIndexFS(IndexFS):
             fh.write(data)
         os.replace(tmp, p)
 
+    def put_bytes(self, p: str, data: bytes) -> None:
+        p = self._local(p)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, p)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def get_bytes(self, p: str) -> bytes | None:
+        try:
+            with open(self._local(p), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def list_files(self, d: str, suffix: str) -> list[str]:
+        d = self._local(d)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(suffix)
+        )
+
+    def stamp(self, p: str) -> int:
+        return os.stat(self._local(p)).st_mtime_ns
+
     def delete_file(self, p: str) -> None:
         try:
             os.unlink(self._local(p))
@@ -246,6 +309,7 @@ class S3IndexFS(IndexFS):
 
     spark_path_for = None  # staticmethod (bucket, key) -> str, or None
     copy_workers = 64  # fold copies are round-trips: overlap them
+    immutable_blobs = True  # engine blobs are write-once, nonce-named
 
     def __init__(self, client):
         self.client = client
@@ -330,6 +394,39 @@ class S3IndexFS(IndexFS):
     def put_file(self, p: str, data: str) -> None:
         bucket, key = self._split(p)
         self.client.put_object(Bucket=bucket, Key=key, Body=data.encode())
+
+    def put_bytes(self, p: str, data: bytes) -> None:
+        bucket, key = self._split(p)
+        # an object put is atomic-visibility: no tmp+rename dance needed
+        self.client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def get_bytes(self, p: str) -> bytes | None:
+        bucket, key = self._split(p)
+        try:
+            resp = self.client.get_object(Bucket=bucket, Key=key)
+        except Exception as exc:
+            if self._code(exc) == "NoSuchKey":
+                return None
+            raise
+        return resp["Body"].read()
+
+    def list_files(self, d: str, suffix: str) -> list[str]:
+        bucket, key = self._split(d)
+        prefix = key + "/"
+        out = []
+        for obj in self._list_keys(bucket, prefix):
+            rel = obj["Key"][len(prefix):]
+            if "/" not in rel and rel.endswith(suffix):
+                out.append(f"s3://{bucket}/{obj['Key']}")
+        return sorted(out)
+
+    def stamp(self, p: str) -> int:
+        # blobs the engine writes are write-once under nonce-unique
+        # names (the table part-file contract) — the name identifies
+        # the content, so caches need no freshness stamp
+        if not self.exists(p):
+            raise FileNotFoundError(p)
+        return 0
 
     def delete_file(self, p: str) -> None:
         bucket, key = self._split(p)
@@ -462,3 +559,32 @@ def indexfs_for(path: str) -> IndexFS:
             "(local paths and s3:// are supported)"
         )
     return LocalIndexFS()
+
+
+def indexfs_spec(path: str):
+    """A PICKLABLE recipe for rebuilding `indexfs_for(path)` INSIDE an
+    executor's Python worker — needed by code that reads index blobs
+    from pandas UDFs (the fp-bloom probe): class attributes set on the
+    driver (`S3CasBackend.client_factory`) do not exist in worker
+    processes, so the factory callable itself must ride the closure.
+    The factory must be picklable (the test fakes are; a production
+    deployment that needs a configured boto3 client passes a top-level
+    factory function); None falls back to a default boto3 client built
+    worker-side."""
+    if path.startswith("s3://"):
+        from qwatch_spark.plans.commit_backend import S3CasBackend
+
+        return ("s3", S3CasBackend.client_factory)
+    return ("local", None)
+
+
+def indexfs_from_spec(spec) -> IndexFS:
+    """Worker-side counterpart of `indexfs_spec`."""
+    kind, factory = spec
+    if kind == "local":
+        return LocalIndexFS()
+    if factory is not None:
+        return S3IndexFS(factory())
+    import boto3  # type: ignore[import-not-found]  # pragma: no cover
+
+    return S3IndexFS(boto3.client("s3"))  # pragma: no cover

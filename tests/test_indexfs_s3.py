@@ -347,6 +347,76 @@ def test_lsh_protocol_over_s3(spark, s3idx):
     assert again == before
 
 
+# ---------------------------------------------------- fp bloom over s3
+
+
+def test_fp_bloom_over_s3(spark, s3idx):
+    """The fingerprint bloom index's full life cycle at an `s3://`
+    table path: request marker, per-epoch segment appends (driver-side
+    object puts), the gate probe — whose pandas UDF runs in EXECUTOR
+    workers that must rebuild the store client from the picklable spec
+    (driver-set class hooks don't exist there) — small-segment
+    OR-folds, and the consolidation rebuild. The dedup gate was the
+    last side index still hard-wired to local file ops."""
+    import hashlib
+
+    from qwatch_spark.plans.fp_bloom import FpBloomIndex
+
+    tpath = s3idx("fptab")
+    idx = FpBloomIndex(tpath)
+    assert not idx.enabled() and not idx.requested()
+    idx.request_enable()
+    idx.request_enable()  # idempotent
+    assert idx.requested() and not idx.enabled()
+
+    def fp(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    known0 = [fp(f"doc-{i}") for i in range(40)]
+    known1 = [fp(f"late-{i}") for i in range(25)]
+    novel = [fp(f"never-{i}") for i in range(30)]
+    df0 = spark.createDataFrame([(x,) for x in known0], "fp string")
+    df1 = spark.createDataFrame([(x,) for x in known1], "fp string")
+    idx.append_segment(df0, "fp", epoch_id=0, n_keys=len(known0))
+    idx.append_segment(df1, "fp", epoch_id=1, n_keys=len(known1))
+    assert len(idx.segment_paths()) == 2
+    assert all(p.startswith("s3://idx/fptab/") for p in idx.segment_paths())
+
+    def hits(fps):
+        probe_df = spark.createDataFrame([(x,) for x in fps], "fp string")
+        got = probe_df.select(
+            "fp", idx.maybe_member(F.col("fp")).alias("hit")
+        ).collect()
+        return {r["fp"]: r["hit"] for r in got}
+
+    got = hits(known0 + known1 + novel + [None])
+    assert all(got[x] for x in known0 + known1), "known fp missed"
+    assert not any(got[x] for x in novel), "novel fp false-positive"
+
+    # OR-fold the two committed segments into one; coverage must hold
+    assert idx.merge_small_segments(committed_epoch=1, max_files=1) == 2
+    assert len(idx.segment_paths()) == 1
+    got = hits(known0 + known1 + novel)
+    assert all(got[x] for x in known0 + known1), "merge lost coverage"
+    assert not any(got[x] for x in novel)
+
+    # consolidation rebuild at a committed watermark covering both
+    # epochs: old segments retired, meta written, request cleared
+    from qwatch_spark.plans.snapshot_table import SnapshotTable
+
+    import tempfile
+
+    t = SnapshotTable.create(
+        tempfile.mkdtemp(prefix="fps3_"), n_buckets=4
+    )
+    t.commit_empty_epoch(0)
+    t.commit_empty_epoch(1)
+    idx.rebuild(spark, SnapshotTable(t.path))
+    names = [p.rsplit("/", 1)[-1] for p in idx.segment_paths()]
+    assert len(names) == 1 and names[0].startswith("full-w1-"), names
+    assert idx.enabled() and not idx.requested()
+
+
 # ------------------------------------------------------------ stress
 
 
