@@ -401,7 +401,9 @@ class DirBackedFakeS3Client:
                 data = fh.read()
         except FileNotFoundError:
             raise S3ClientError("NoSuchKey", CopySource["Key"]) from None
-        return self.put_object(Bucket, Key, data)
+        # keyword form, like every boto3 call — subclasses wrap these
+        # methods with **kw signatures (latency models, call counters)
+        return self.put_object(Bucket=Bucket, Key=Key, Body=data)
 
 
 class S3CasBackend(CasBackend):

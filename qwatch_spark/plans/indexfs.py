@@ -496,8 +496,15 @@ class S3IndexFS(IndexFS):
             # live appender's files, and each copy is per-file atomic
             pmap(copy, parts, max_workers=self.copy_workers)
         finally:
-            for obj in self._list_keys(bucket, skey + "/"):
-                self.client.delete_object(Bucket=bucket, Key=obj["Key"])
+            # scratch cleanup is O(files) deletes — pooled for the same
+            # reason the copies are (a sequential loop here would pay
+            # one RTT per part file and dominate the fold at scale)
+            keys = [o["Key"] for o in self._list_keys(bucket, skey + "/")]
+            pmap(
+                lambda k: self.client.delete_object(Bucket=bucket, Key=k),
+                keys,
+                max_workers=self.copy_workers,
+            )
 
     def root_entries(self, path: str) -> list[str]:
         bucket, key = self._split(path)
@@ -524,9 +531,17 @@ class S3IndexFS(IndexFS):
         return mt
 
     def delete_tree(self, d: str) -> None:
+        from qwatch_spark.plans.datafs import pmap
+
         bucket, key = self._split(d)
-        for obj in self._list_keys(bucket, key + "/"):
-            self.client.delete_object(Bucket=bucket, Key=obj["Key"])
+        # vacuum retires whole version dirs — pooled deletes, or a
+        # superseded 10^4-file version costs 10^4 sequential RTTs
+        keys = [o["Key"] for o in self._list_keys(bucket, key + "/")]
+        pmap(
+            lambda k: self.client.delete_object(Bucket=bucket, Key=k),
+            keys,
+            max_workers=self.copy_workers,
+        )
         # `d` may itself be a control file (stale claim): delete the
         # exact key too (no-op if absent)
         self.client.delete_object(Bucket=bucket, Key=key)

@@ -347,6 +347,96 @@ def test_lsh_protocol_over_s3(spark, s3idx):
     assert again == before
 
 
+# ------------------------------------------- round-trip budget on s3
+
+
+class _CountingClient(DirBackedFakeS3Client):
+    """Every boto3 API call is a network round-trip in production —
+    the counters make the serving paths' control-plane cost assertable."""
+
+    calls: dict  # class-level so every factory-made instance shares it
+
+    def _bump(self, op):
+        type(self).calls[op] = type(self).calls.get(op, 0) + 1
+
+    def put_object(self, **kw):
+        self._bump("put")
+        return super().put_object(**kw)
+
+    def get_object(self, **kw):
+        self._bump("get")
+        return super().get_object(**kw)
+
+    def list_objects_v2(self, **kw):
+        self._bump("list")
+        return super().list_objects_v2(**kw)
+
+    def head_object(self, **kw):
+        self._bump("head")
+        return super().head_object(**kw)
+
+    def delete_object(self, **kw):
+        self._bump("delete")
+        return super().delete_object(**kw)
+
+    def copy_object(self, **kw):
+        self._bump("copy")
+        return super().copy_object(**kw)
+
+
+def test_probe_and_append_round_trip_budget(spark, tmp_path, monkeypatch):
+    """At 100 TB the serving indexes live behind a network: control-plane
+    round-trips are the probe's latency floor. Pin the budgets so they
+    cannot silently regress to O(index size):
+
+      - a probe costs ONE pointer GET (cells/buckets are read by Spark
+        through the data plane, already partition-pruned);
+      - an append costs two pointer GETs (entry resolve + post-write
+        conflict check) and zero LISTs;
+      - compaction's LISTs page at 1000 keys — O(files/1000) + O(fold)
+        copies, never per-file round-trips outside the pooled fold.
+    """
+    store = tmp_path / "store"
+    store.mkdir()
+
+    class Client(_CountingClient):
+        calls = {}
+
+    monkeypatch.setattr(
+        S3CasBackend, "client_factory", lambda: Client(str(store), page_size=1000)
+    )
+    monkeypatch.setattr(
+        S3IndexFS, "spark_path_for", lambda bucket, key: str(store / bucket / key)
+    )
+    rows, df = _clustered_corpus(spark, 120)
+    vecs = {i: v for i, v in rows}
+    path = "s3://idx/rt"
+    sim.ivf_build_index(df.filter(F.col("vec_id") < 100), path, n_cells=8)
+
+    Client.calls = {}
+    got = sim.ivf_probe_topk(spark, path, vecs[7], k=3, n_probe=4).collect()
+    assert int(got[0]["vec_id"]) == 7
+    assert Client.calls.get("list", 0) == 0, Client.calls
+    assert Client.calls.get("get", 0) <= 2, (
+        f"probe control-plane cost regressed: {Client.calls}"
+    )
+
+    Client.calls = {}
+    n = sim.ivf_index_append(df.filter(F.col("vec_id") >= 100), path)
+    assert n == 20
+    assert Client.calls.get("list", 0) == 0, Client.calls
+    assert Client.calls.get("get", 0) <= 4, (
+        f"append control-plane cost regressed: {Client.calls}"
+    )
+
+    # maintenance: LISTs page at 1000 keys -> a handful for this index,
+    # and data movement is Spark-side (rebuild) + pooled copies (fold)
+    Client.calls = {}
+    sim.ivf_maintain(spark, path, n_cells=10, lloyd_iters=0)
+    assert Client.calls.get("list", 0) <= 8, Client.calls
+    assert Client.calls.get("get", 0) <= 8, Client.calls
+
+
 # ---------------------------------------------------- fp bloom over s3
 
 
