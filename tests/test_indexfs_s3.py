@@ -20,7 +20,6 @@ have no rename, and nothing here assumes one.
 
 import threading
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
