@@ -259,17 +259,18 @@ def _delta_footer_stats(
     return res
 
 
-def _use_task_stats(cfg, n_buckets: int) -> bool:
+def _use_task_stats(cfg) -> bool:
     """True when the delta commit should harvest its per-bucket stats
     DURING the write job (observe() metrics fused into the write stage)
-    instead of reading anything back afterward. EXPLICIT opt-in only:
-    the observe form costs 6 conditional aggregates per bucket
-    evaluated per row — measured (scripts/bench_commit_stats.py task
-    arm) at +2.1 s on a 60k-row/64-bucket write and +46 s at 512
-    buckets, versus a 12 ms footer read — rows × buckets beats
-    files in every regime tested, so "auto" deliberately never picks
-    this; it exists for tiny-batch/high-RTT regimes and as the
-    three-way stats oracle (tests/test_commit_stats_modes.py)."""
+    instead of reading anything back afterward. EXPLICIT opt-in only —
+    deliberately independent of bucket count: the observe form costs 6
+    conditional aggregates per bucket evaluated per row — measured
+    (scripts/bench_commit_stats.py task arm) at +2.1 s on a
+    60k-row/64-bucket write and +46 s at 512 buckets, versus a 12 ms
+    footer read — rows × buckets beats files in every regime tested,
+    so "auto" never picks this; it exists for tiny-batch/high-RTT
+    regimes and as the three-way stats oracle
+    (tests/test_commit_stats_modes.py)."""
     return getattr(cfg, "commit_stats_mode", "auto") == "task"
 
 
@@ -496,7 +497,7 @@ def apply_changes(
                 max(8, spark.sparkContext.defaultParallelism * 3),
             )
             obs = None
-            if _use_task_stats(cfg, table.n_buckets):
+            if _use_task_stats(cfg):
                 # task-side stats: the write job itself emits the
                 # per-bucket commit stats (observe() metrics fused into
                 # the write stage), deleting the post-write read — no

@@ -634,12 +634,12 @@ def _batch_probe_guard(
         )
     if queries:
         return None
-    # resolve the CURRENT version dir, like every other probe path: on
-    # a maintained-and-vacuumed index the ROOT holds only underscore
-    # dirs (`_current`, `_vK`), which Spark's listing hides, so reading
-    # the root raises "unable to infer schema" instead of returning the
-    # documented empty frame (r7 verdict #1)
-    id_type = dict(spark.read.parquet(_sp(_idx_current(path)[0])).dtypes)[id_col]
+    # `path` is the CURRENT version's data dir — both batch probes
+    # resolve `_idx_current` before calling (the r7 fix: on a
+    # maintained-and-vacuumed index the ROOT holds only underscore
+    # dirs, which Spark's listing hides, so reading the root raised
+    # "unable to infer schema" instead of the documented empty frame)
+    id_type = dict(spark.read.parquet(_sp(path)).dtypes)[id_col]
     return spark.createDataFrame(
         [], f"query_id long, {id_col} {id_type}, cosine double"
     )
@@ -821,6 +821,7 @@ def lsh_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup_against_index: bool = False,
+    fold_wait_timeout_s: float = 600.0,
 ) -> int:
     """O(batch) index growth: hash ONLY the new vectors with the
     persisted `_params` hyperplanes and append them into the CURRENT
@@ -839,7 +840,9 @@ def lsh_index_append(
     # dedup retries serialize behind an in-progress fold (write-skew
     # guard, same as ivf_index_append — see _wait_no_fold)
     data, v0 = (
-        _wait_no_fold(path) if dedup_against_index else _idx_current(path)
+        _wait_no_fold(path, fold_wait_timeout_s)
+        if dedup_against_index
+        else _idx_current(path)
     )
     bucketed = lsh_rand_buckets(
         new_vectors, n_planes, n_bands, dim, seed, id_col, vec_col
@@ -1163,7 +1166,7 @@ def _fold_marker(vdir: str) -> str:
     return f"{vdir.rstrip('/')}/_folding"
 
 
-def _wait_no_fold(path: str, timeout_s: float = 60.0) -> tuple[str, int]:
+def _wait_no_fold(path: str, timeout_s: float = 600.0) -> tuple[str, int]:
     """Resolve the CURRENT version dir, waiting out any in-progress
     post-swap delta fold — the serialization point that closes the
     write-skew between a maintainer's fold and a conflicted append
@@ -1180,7 +1183,13 @@ def _wait_no_fold(path: str, timeout_s: float = 60.0) -> tuple[str, int]:
     the pointer on every poll — a newer maintenance cycle may swap
     again while we wait. Raises the typed `IndexConflictError` after `timeout_s`
     (a marker that never clears means the single maintenance owner
-    crashed mid-fold — see the *_maintain crash notes)."""
+    crashed mid-fold — see the *_maintain crash notes). The default is
+    sized for a HEALTHY large fold, not an optimistic one: the marker
+    is held across the fold's Spark reads, the anti-join, and (on an
+    object store) the pooled per-file copies — minutes at scale, so a
+    short timeout would misdiagnose a working fold as a crash and fail
+    retries that would have succeeded. Appends expose the knob as
+    `fold_wait_timeout_s`."""
     import time as _time
 
     deadline = _time.monotonic() + float(timeout_s)
@@ -1206,6 +1215,7 @@ def ivf_index_append(
     vec_col: str = "embedding",
     max_literals: int = 4096,
     dedup_against_index: bool = False,
+    fold_wait_timeout_s: float = 600.0,
 ) -> int:
     """Incrementally add vectors to a built IVF index (the CDC story
     for embeddings): assign the batch against the index's FROZEN
@@ -1235,7 +1245,9 @@ def ivf_index_append(
     # (write skew — both read before either writes, both insert the
     # same ids); see _wait_no_fold
     data, v0 = (
-        _wait_no_fold(path) if dedup_against_index else _idx_current(path)
+        _wait_no_fold(path, fold_wait_timeout_s)
+        if dedup_against_index
+        else _idx_current(path)
     )
     seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
     if not seed_rows:
@@ -1420,6 +1432,18 @@ def ivf_maintain(
             f"ivf_maintain({path}): version {new_v} already claimed by "
             "a rival maintainer; rebase on the new current and retry"
         )
+    # post-claim pointer recheck: the window between reading v0 (before
+    # the corpus scan — a LONG window) and claiming is wide enough for
+    # a rival to claim, publish, and have vacuum retire its
+    # now-published claim; without this check a stale maintainer could
+    # then RE-claim the current version number and overwrite the live
+    # dir. The claim we leave behind on raising targets a published
+    # (or superseded) version, which vacuum clears as junk.
+    if _idx_current(path)[1] != v0:
+        raise IndexConflictError(
+            f"ivf_maintain({path}): the current version moved past "
+            f"{v0} while preparing the rebuild; rebase and retry"
+        )
     ivf_build_index(
         corpus, vdir, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         max_literals=max_literals, lloyd_iters=lloyd_iters,
@@ -1588,6 +1612,15 @@ def lsh_maintain(spark, path: str, id_col: str = "vec_id") -> dict:
         raise IndexConflictError(
             f"lsh_maintain({path}): version {new_v} already claimed by "
             "a rival maintainer; rebase on the new current and retry"
+        )
+    # post-claim pointer recheck — see ivf_maintain: a rival may have
+    # claimed, published, and had its claim vacuumed inside our
+    # read-to-claim window; never overwrite a version dir whose number
+    # was published out from under us
+    if _idx_current(path)[1] != v0:
+        raise IndexConflictError(
+            f"lsh_maintain({path}): the current version moved past "
+            f"{v0} while preparing the compaction; rebase and retry"
         )
     (
         rows.repartition("band", "bucket")

@@ -245,7 +245,12 @@ class FakeS3Client:
         with self._lock:
             objs = self._bucket(Bucket)
             if Key not in objs:
-                raise S3ClientError("NoSuchKey", Key)
+                # REAL S3 semantics: HEAD responses have no body, so
+                # botocore surfaces the bare HTTP status "404", never
+                # "NoSuchKey" (that code only appears on GET/DELETE,
+                # whose error bodies carry it) — the fake must match or
+                # every exists() check passes tests and breaks in prod
+                raise S3ClientError("404", Key)
             return {"ContentLength": len(objs[Key])}
 
     def delete_object(self, Bucket: str, Key: str):
@@ -380,7 +385,9 @@ class DirBackedFakeS3Client:
     def head_object(self, Bucket: str, Key: str):
         p = self._path(Bucket, Key)
         if not os.path.isfile(p):  # a prefix/dir is not an object
-            raise S3ClientError("NoSuchKey", Key)
+            # "404", not "NoSuchKey" — real S3 HEAD errors carry only
+            # the HTTP status (see FakeS3Client.head_object)
+            raise S3ClientError("404", Key)
         return {"ContentLength": os.path.getsize(p)}
 
     def delete_object(self, Bucket: str, Key: str):
@@ -404,6 +411,40 @@ class DirBackedFakeS3Client:
         # keyword form, like every boto3 call — subclasses wrap these
         # methods with **kw signatures (latency models, call counters)
         return self.put_object(Bucket=Bucket, Key=Key, Body=data)
+
+
+def s3_client():
+    """The ONE way every driver-side seam (CAS commit log, datafs,
+    indexfs) builds its S3 client: the `S3CasBackend.client_factory`
+    hook if installed (tests → the in-repo fakes), else a default boto3
+    client; None when neither is available. Centralized because client
+    construction is exactly the kind of logic that drifts when copied —
+    a config change (region, retries, endpoint) applied to one copy
+    silently misses the others."""
+    if S3CasBackend.client_factory is not None:
+        return S3CasBackend.client_factory()
+    try:  # pragma: no cover - no boto3/object store in this sandbox
+        import boto3  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    return boto3.client("s3")  # pragma: no cover
+
+
+def iter_s3_keys(client, bucket: str, prefix: str):
+    """Paginated `list_objects_v2` as a generator of Contents entries —
+    the one pagination loop every seam shares (1000 keys per round-trip
+    on real S3; the fakes page at 2 so every caller exercises the
+    continuation path)."""
+    token: str | None = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix}
+        if token is not None:
+            kw["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kw)
+        yield from resp.get("Contents", [])
+        if not resp.get("IsTruncated"):
+            return
+        token = resp["NextContinuationToken"]
 
 
 class S3CasBackend(CasBackend):

@@ -316,50 +316,37 @@ class S3DataFS(DataFS):
         return bucket, key
 
     def list_parquet(self, d: str) -> list[str]:
+        from qwatch_spark.plans.commit_backend import iter_s3_keys
+
         bucket, key = self._split(d)
         prefix = key.rstrip("/") + "/"
         out: list[str] = []
-        token: str | None = None
-        while True:
-            kw = {"Bucket": bucket, "Prefix": prefix}
-            if token is not None:
-                kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
-            for obj in resp.get("Contents", []):
-                name = obj["Key"][len(prefix):]
-                # immediate children only (dir semantics, like listdir)
-                if name.endswith(".parquet") and "/" not in name:
-                    uri = f"s3://{bucket}/{obj['Key']}"
-                    out.append(uri)
-                    if "Size" in obj:  # real S3 always includes it —
-                        # saves one HEAD round-trip per footer read
-                        self._cache_size(uri, obj["Size"])
-            if not resp.get("IsTruncated"):
-                return sorted(out)
-            token = resp["NextContinuationToken"]
+        for obj in iter_s3_keys(self.client, bucket, prefix):
+            name = obj["Key"][len(prefix):]
+            # immediate children only (dir semantics, like listdir)
+            if name.endswith(".parquet") and "/" not in name:
+                uri = f"s3://{bucket}/{obj['Key']}"
+                out.append(uri)
+                if "Size" in obj:  # real S3 always includes it —
+                    # saves one HEAD round-trip per footer read
+                    self._cache_size(uri, obj["Size"])
+        return sorted(out)
 
     def list_parquet_tree(self, root: str) -> dict[str, list[str]]:
+        from qwatch_spark.plans.commit_backend import iter_s3_keys
+
         bucket, key = self._split(root)
         prefix = key.rstrip("/") + "/"
         out: dict[str, list[str]] = {}
-        token: str | None = None
-        while True:
-            kw = {"Bucket": bucket, "Prefix": prefix}
-            if token is not None:
-                kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
-            for obj in resp.get("Contents", []):
-                rel = obj["Key"][len(prefix):]
-                if not rel.endswith(".parquet"):
-                    continue
-                rel_dir, _, _name = rel.rpartition("/")
-                uri = f"s3://{bucket}/{obj['Key']}"
-                out.setdefault(rel_dir, []).append(uri)
-                if "Size" in obj:
-                    self._cache_size(uri, obj["Size"])
-            if not resp.get("IsTruncated"):
-                break
-            token = resp["NextContinuationToken"]
+        for obj in iter_s3_keys(self.client, bucket, prefix):
+            rel = obj["Key"][len(prefix):]
+            if not rel.endswith(".parquet"):
+                continue
+            rel_dir, _, _name = rel.rpartition("/")
+            uri = f"s3://{bucket}/{obj['Key']}"
+            out.setdefault(rel_dir, []).append(uri)
+            if "Size" in obj:
+                self._cache_size(uri, obj["Size"])
         for v in out.values():
             v.sort()
         return out
@@ -470,13 +457,8 @@ def datafs_for(path: str) -> DataFS | None:
     if path.startswith("file://"):
         return LocalDataFS()
     if path.startswith("s3://"):
-        from qwatch_spark.plans.commit_backend import S3CasBackend
+        from qwatch_spark.plans.commit_backend import s3_client
 
-        if S3CasBackend.client_factory is not None:
-            return S3DataFS(S3CasBackend.client_factory())
-        try:  # pragma: no cover - no boto3/object store in this sandbox
-            import boto3  # type: ignore[import-not-found]
-        except ImportError:
-            return None
-        return S3DataFS(boto3.client("s3"))
+        client = s3_client()
+        return None if client is None else S3DataFS(client)
     return None

@@ -299,7 +299,12 @@ class FpBloomIndex:
         rule as rebuild(). Crash/race windows only ever DUPLICATE
         coverage (merged file written before originals are unlinked;
         a racing merger's extra merged file is a superset) — the next
-        merge or rebuild folds the duplicates away."""
+        merge or rebuild folds the duplicates away. The returned count
+        is "members folded and retired by THIS merger's accounting":
+        deletes are idempotent and an object store's delete reports
+        nothing about prior existence, so under a racing merger both
+        processes may count the same member — the sum across racers can
+        exceed the real file delta (telemetry, not an invariant)."""
         segs = []
         for p in self.segment_paths():
             name = os.path.basename(p)

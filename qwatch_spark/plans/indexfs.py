@@ -387,7 +387,11 @@ class S3IndexFS(IndexFS):
             self.client.head_object(Bucket=bucket, Key=key)
             return True
         except Exception as exc:
-            if self._code(exc) == "NoSuchKey":
+            # real S3 HEAD errors carry only the HTTP status ("404" /
+            # "NotFound" via botocore) — the response has no body to
+            # name "NoSuchKey"; accept all three so the check works
+            # against both the fakes and a production client
+            if self._code(exc) in ("NoSuchKey", "404", "NotFound"):
                 return False
             raise
 
@@ -433,17 +437,9 @@ class S3IndexFS(IndexFS):
         self.client.delete_object(Bucket=bucket, Key=key)
 
     def _list_keys(self, bucket: str, prefix: str) -> list[dict]:
-        out: list[dict] = []
-        token: str | None = None
-        while True:
-            kw = {"Bucket": bucket, "Prefix": prefix}
-            if token is not None:
-                kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
-            out.extend(resp.get("Contents", []))
-            if not resp.get("IsTruncated"):
-                return out
-            token = resp["NextContinuationToken"]
+        from qwatch_spark.plans.commit_backend import iter_s3_keys
+
+        return list(iter_s3_keys(self.client, bucket, prefix))
 
     def list_parts(self, d: str, patterns: tuple[str, ...]) -> set[str]:
         bucket, key = self._split(d)
@@ -547,33 +543,48 @@ class S3IndexFS(IndexFS):
         self.client.delete_object(Bucket=bucket, Key=key)
 
 
+_LOCAL_FS = LocalIndexFS()
+# one S3IndexFS (hence one client) per factory: hot paths resolve the
+# seam per call (`_sp`, pointer reads, the 50 ms fold-wait poll), and a
+# production boto3 client costs ~tens of ms of botocore session setup —
+# per-call construction would dominate probe latency. Keyed by the
+# factory OBJECT so a test that swaps `client_factory` gets a fresh
+# client; boto3 clients are thread-safe, so sharing is sound (datafs
+# shares one the same way).
+_S3_FS_CACHE: dict = {}
+
+
 def indexfs_for(path: str) -> IndexFS:
     """IndexFS for `path`'s scheme. Local paths (and file://) get the
     round-7 local protocol; `s3://` builds its client exactly like the
     CAS backend and the datafs seam (the `client_factory` hook — tests
-    install a fake; production defaults to boto3). Other schemes raise:
-    the index protocol needs a driver-side client, and silently doing
-    local-fs ops against an hdfs:// URI would corrupt nothing but also
-    do nothing."""
+    install a fake; production defaults to boto3), cached per factory.
+    Other schemes raise: the index protocol needs a driver-side client,
+    and silently doing local-fs ops against an hdfs:// URI would
+    corrupt nothing but also do nothing."""
     if path.startswith("s3://"):
-        from qwatch_spark.plans.commit_backend import S3CasBackend
+        from qwatch_spark.plans.commit_backend import S3CasBackend, s3_client
 
-        if S3CasBackend.client_factory is not None:
-            return S3IndexFS(S3CasBackend.client_factory())
-        try:  # pragma: no cover - no boto3/object store in this sandbox
-            import boto3  # type: ignore[import-not-found]
-        except ImportError:
+        factory = S3CasBackend.client_factory
+        fs = _S3_FS_CACHE.get(factory)
+        if fs is not None:
+            return fs
+        client = s3_client()
+        if client is None:
             raise ValueError(
                 "s3:// index path but no S3 client available (install "
                 "boto3 or set S3CasBackend.client_factory)"
-            ) from None
-        return S3IndexFS(boto3.client("s3"))
+            )
+        fs = S3IndexFS(client)
+        _S3_FS_CACHE.clear()  # one live entry: old factories are dead
+        _S3_FS_CACHE[factory] = fs
+        return fs
     if "://" in path and not path.startswith("file://"):
         raise ValueError(
             f"no index protocol client for scheme of {path!r} "
             "(local paths and s3:// are supported)"
         )
-    return LocalIndexFS()
+    return _LOCAL_FS
 
 
 def indexfs_spec(path: str):

@@ -1044,6 +1044,58 @@ def test_ivf_maintain_rival_claim_and_vacuum(spark, tmp_path):
     assert int(got[0]["vec_id"]) == 3
 
 
+def test_maintain_rejects_stale_claimant_after_claim_vacuumed(
+    spark, tmp_path, monkeypatch
+):
+    """The claim-file CAS alone cannot stop a maintainer whose
+    read-to-claim window spans a rival's entire claim → publish →
+    vacuum cycle: the rival's published claim is junk and vacuum
+    removes it, so the stale maintainer's claim SUCCEEDS on a version
+    number that is already live — and its overwrite build would delete
+    the current version dir under active probes. The post-claim pointer
+    recheck closes this: the stale claimant must fail typed, touch
+    nothing, and leave only a vacuum-clearable junk claim behind."""
+    import glob as _glob
+    import os as _os
+
+    import qwatch_spark.operators.similarity as sim
+
+    rows, df = _clustered_corpus(spark, 120)
+    path = str(tmp_path / "ivf")
+    sim.ivf_build_index(df, path, n_cells=8)
+    sim.ivf_maintain(spark, path, n_cells=10, lloyd_iters=0)  # cur = 0
+    removed = sim.ivf_vacuum(path, retention_s=3600)  # retires _v0.claim
+    assert removed == [_os.path.join(path, "_v0.claim")]
+
+    live_files = sorted(
+        _glob.glob(_os.path.join(path, "_v0", "cell=*", "*.parquet"))
+    )
+    real = sim._idx_current
+    calls = {"n": 0}
+
+    def stale_first(p):
+        # what a maintainer that read the pointer BEFORE the rival's
+        # whole cycle saw: the legacy, pointerless layout
+        calls["n"] += 1
+        return (p, -1) if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(sim, "_idx_current", stale_first)
+    with pytest.raises(sim.IndexConflictError, match="moved past"):
+        sim.ivf_maintain(spark, path, n_cells=10, lloyd_iters=0)
+    monkeypatch.undo()
+
+    # the live version dir was never touched, probes still serve ...
+    assert sorted(
+        _glob.glob(_os.path.join(path, "_v0", "cell=*", "*.parquet"))
+    ) == live_files
+    got = sim.ivf_probe_topk(spark, path, rows[5][1], k=1, n_probe=10).collect()
+    assert int(got[0]["vec_id"]) == 5
+    # ... and the stale claimant's junk claim is vacuum-clearable
+    assert sim.ivf_vacuum(path, retention_s=3600) == [
+        _os.path.join(path, "_v0.claim")
+    ]
+
+
 @pytest.mark.parametrize("kind", ["ivf", "lsh"])
 def test_concurrent_append_probe_maintain_stress(spark, tmp_path, kind):
     """The r6 stress test's discipline extended to maintenance, over
