@@ -351,9 +351,25 @@ def connected_components(
         df.write.parquet(p)
         return spark.read.parquet(p)
 
+    # symmetrize via one explode, not a union of two selects over
+    # `pairs` — Catalyst does not dedupe common subtrees across union
+    # branches, and `pairs` is typically the FULL near-dup pipeline
+    # (LSH banding + Jaccard refine), which the union form executed
+    # twice (same disease as lsh_buckets' old per-band union)
     edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
     )
     edges = materialize(edges)  # read repeatedly: one scan-ready copy
