@@ -46,8 +46,17 @@ class PipelineConfig:
     # number of hash buckets of the target table (scale knob: at 100 TB
     # with ~1 GB target bucket files this would be ~100_000; tests use 8)
     n_buckets: int = 64
-    # salt fan-out for the skewed dedup stage (0 disables salting)
-    n_salt: int = 8
+    # skew fan-out for the dedup stage. In `apply_changes` any value > 1
+    # selects the pre-reduced dedup (map-side partial aggregation on
+    # (bucket, key) before the bucket exchange — for feeds where ONE
+    # key's raw duplicate volume per epoch could overwhelm its bucket
+    # task); 0/1 selects the bucket-fused single-exchange dedup, the
+    # default since the r9 optimization round: bucket volumes are
+    # balanced by hash construction, and the ordinary CDC feed (bounded
+    # per-key duplication per epoch) gains nothing from pre-reduction
+    # that is worth a second full exchange. In `latest_wins` it is the
+    # classic two-phase salted aggregation fan-out (q02).
+    n_salt: int = 0
     # rename map applied to incoming feed columns before evolution
     # resolution: {feed_column_name: canonical_name}
     rename_map: dict[str, str] = dataclasses.field(default_factory=dict)

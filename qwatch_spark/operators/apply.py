@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qwatch_spark.config import PipelineConfig
-from qwatch_spark.operators.dedup import latest_wins
 from qwatch_spark.operators.evolution import resolve_schema
 from qwatch_spark.operators.rules import apply_rules
 from qwatch_spark.plans.snapshot_table import SnapshotTable, _ziso, bucket_expr
@@ -323,6 +322,58 @@ def _task_stats_fold(
     return res
 
 
+def _dedup_to_buckets(
+    batch: DataFrame,
+    key: str,
+    cfg: PipelineConfig,
+    n_buckets: int,
+    k: int,
+) -> DataFrame:
+    """Dedup-to-latest per `key` FUSED with bucket placement: the result
+    carries `_b` (the write bucket) and is hash-partitioned by it into
+    `k` partitions, so the delta write needs NO further exchange and
+    `partitionBy` still yields one file per touched bucket.
+
+    Why fused (optimization round 9, guide §2.4): the former chain —
+    salted two-phase `latest_wins` (2 exchanges) followed by
+    `repartition(k, b)` (a 3rd) — moved every row through three
+    shuffles per epoch. `_b` is a pure function of `key`, so
+    partitioning by `_b` already co-locates every row of a key: one
+    raw-row exchange on `_b` followed by a complete per-bucket
+    `max_by` aggregation computes the identical dedup (max over a total
+    order is associativity-free) with two exchanges removed. Bucket
+    volumes are balanced by construction (xxhash64 buckets of the key —
+    hash keys don't skew), so the exchange itself cannot skew; what the
+    fused form gives up is the map-side pre-reduction of EXTREME
+    per-key duplicate volume (millions of raw events for ONE key in one
+    epoch would all land in that key's bucket task). `cfg.n_salt > 1`
+    keeps that protection: it switches to a partial-aggregated dedup on
+    `(_b, key)` (map-side combine absorbs hot keys before any exchange
+    — the q01 plan-quality property) followed by the bucket exchange of
+    the already-deduped rows — 2 exchanges, still one fewer than the
+    old chain. Default feeds take the 1-exchange path; `n_salt` is the
+    declared knob for pathologically duplicate-heavy feeds."""
+    payload = [c for c in batch.columns if c != key]
+    row_struct = F.struct(*[F.col(c) for c in payload])
+    ord_struct = F.struct(*[F.col("warc_ts"), F.col("seq")])
+    b = batch.withColumn("_b", bucket_expr(n_buckets, key))
+    if cfg.n_salt and cfg.n_salt > 1:
+        top = (
+            b.groupBy("_b", key)
+            .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+            .repartition(k, "_b")
+        )
+    else:
+        top = (
+            b.repartition(k, "_b")
+            .groupBy("_b", key)
+            .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+        )
+    return top.select(
+        "_b", key, *[F.col(f"_row.{c}").alias(c) for c in payload]
+    )
+
+
 def merge_cdc(
     current: DataFrame,
     updates: DataFrame,
@@ -442,7 +493,17 @@ def apply_changes(
     )  # prune before shuffle: only what MERGE needs reaches the exchange
 
     key = table.key_col
-    updates = latest_wins(batch, key=key, order=("warc_ts", "seq"), n_salt=cfg.n_salt)
+    # bucket-fused dedup (see _dedup_to_buckets): the result carries
+    # `_b` and is already hash-partitioned by it, so the delta write
+    # below needs no further exchange. k matches the shuffle width to
+    # the executor pool instead of n_buckets — cuts the per-epoch task
+    # count ~5x; at high epoch rates the DAGScheduler (single-threaded)
+    # is the shared floor across concurrently-applying tables.
+    k = min(
+        table.n_buckets,
+        max(8, spark.sparkContext.defaultParallelism * 3),
+    )
+    updates = _dedup_to_buckets(batch, key, cfg, table.n_buckets, k)
     # deferred projections (e.g. HTML→text): once per surviving key,
     # not once per raw event
     updates = apply_rules(updates, cfg, kind="project")
@@ -452,7 +513,6 @@ def apply_changes(
     updates = apply_rules(
         updates, cfg, kind="post_gate", ctx={"spark": spark, "table": table}
     )
-    updates = updates.withColumn("_b", bucket_expr(table.n_buckets, key))
 
     use_delta = cfg.write_mode in ("delta", "auto")
     phases: dict[str, float] = {}
@@ -470,7 +530,7 @@ def apply_changes(
             # 'U' (deletes stay exact).
             t = time.time()
             new_version, vtoken, out = table.stage_version_dir()
-            snap = updates.drop("_b").select(
+            snap = updates.select(
                 *payload_cols,
                 F.col("seq"),
                 (F.col("op") == "D").alias("is_deleted"),
@@ -485,16 +545,11 @@ def apply_changes(
                 F.when(F.col("op") == "D", F.lit(1))
                 .cast("tinyint")
                 .alias("_del"),
-            ).withColumn("b", bucket_expr(table.n_buckets, key))
-            # hash-shuffle on "b" only needs each bucket's rows in ONE
-            # task (partitionBy still yields exactly one file per touched
-            # bucket); matching the shuffle width to the executor pool
-            # instead of n_buckets cuts the per-epoch task count ~5x —
-            # at high epoch rates the DAGScheduler (single-threaded) is
-            # the shared floor across concurrently-applying tables
-            k = min(
-                table.n_buckets,
-                max(8, spark.sparkContext.defaultParallelism * 3),
+                # the dedup already placed every row on its bucket
+                # partition (one task per bucket), so the write below
+                # needs no exchange of its own and partitionBy still
+                # yields exactly one file per touched bucket
+                F.col("_b").alias("b"),
             )
             obs = None
             if _use_task_stats(cfg):
@@ -510,8 +565,7 @@ def apply_changes(
                     obs, *_task_stats_metrics(table.n_buckets)
                 )
             (
-                snap.repartition(k, "b")
-                .write.mode("overwrite")
+                snap.write.mode("overwrite")
                 .partitionBy("b")
                 .parquet(out)
             )

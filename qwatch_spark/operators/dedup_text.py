@@ -163,25 +163,136 @@ def lsh_buckets(docs: DataFrame, n_hashes: int = 16, band_size: int = 4) -> Data
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4) -> DataFrame:
-    """Self-join each band bucket → distinct candidate pairs (a < b).
+    """Per-bucket candidate pairs (a < b), each emitted EXACTLY ONCE.
     The scale path: pair generation is per-bucket, never global.
 
     Default 16 hashes × bands of 4: band-collision probability is s^4
     for Jaccard similarity s (4 OR'd bands), so unrelated pairs
     (s ≈ 0.1) collide with p ≈ 4e-4 while near-dups (s ≥ 0.8) are
     caught with p ≈ 0.87 — a selective sieve, not the quadratic
-    76%-of-all-pairs blowup the old 4×2 toy config produced."""
-    b = lsh_buckets(docs, n_hashes, band_size)
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    76%-of-all-pairs blowup the old 4×2 toy config produced.
+
+    Physical shape (optimization round 9): the former bucket SELF-JOIN
+    + DISTINCT executed the whole minhash pipeline twice (Catalyst does
+    not share a common subtree across a self-join's two sides) and then
+    shuffled every (pair, band) collision into a corpus-wide distinct —
+    on a dense corpus that distinct's input is bands × the pair count,
+    by far the plan's largest exchange. Now each (band, bucket) group
+    aggregates its members once (`collect_list`, sorted by doc_id) and
+    generates pairs in-task with higher-order functions; a pair sharing
+    several buckets is emitted only by its FIRST shared band — each doc
+    carries its band fingerprints (16-byte `unhex(md5)`, equality ≡ the
+    hex-string bucket equality the oracle SQL groups on) and a
+    candidate survives iff the first index where the two fingerprint
+    arrays agree is this group's band. Every co-bucketed pair is
+    emitted exactly once globally, so the result set is identical to
+    the join+distinct form with NO distinct step: one minhash pipeline,
+    one small (doc, band) exchange, zero pair-level shuffles. The inner
+    `filter` runs before pair structs materialize, so a bucket of m
+    members holds O(m · survivors) structs, not O(m²). A pathologically
+    hot bucket still lands in one task — same as the self-join form;
+    raise bits per band (see the tuning note above) if buckets outgrow
+    tasks."""
+    sig = minhash_signatures(docs, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col("doc_id"), bands.alias("_bs")).select(
+        "doc_id", "_bs", F.posexplode(F.col("_bs")).alias("band", "bucket")
+    )
+    grouped = (
+        exploded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("_bs")))
+            ).alias("_ds")
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+        .filter(F.size("_ds") > 1)
+    )
+
+    # Pair-space blocking: a single hot bucket's C(m,2) pair space would
+    # otherwise be generated by ONE task (the self-join form had the
+    # same skew — all rows of a join key land in one partition). Each
+    # member belongs to block pmod(doc_id, T); the bucket's pair space
+    # is the union of the T*(T+1)/2 block pairs (a <= b), each emitted
+    # as its own row and hash-spread across the cluster by the
+    # repartition below, so a hot bucket parallelizes T*(T+1)/2 ways.
+    T = 8
+    block_pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a in range(T)
+                for b in range(a, T)
+            ]
+        )
+    )
+
+    def _chunk(g):
+        return F.filter(
+            F.col("_ds"), lambda x: F.pmod(x["doc_id"], F.lit(T)) == g
+        )
+
+    chunked = (
+        grouped.select("band", "bucket", "_ds", block_pairs.alias("_ab"))
+        .select(
+            "band",
+            "bucket",
+            F.col("_ab.a").alias("_a"),
+            F.col("_ab.b").alias("_b"),
+            _chunk(F.col("_ab.a")).alias("_ca"),
+            _chunk(F.col("_ab.b")).alias("_cb"),
+        )
+        .filter((F.size("_ca") > 0) & (F.size("_cb") > 0))
+        .repartition("band", "bucket", "_a", "_b")
+    )
+
+    def _new_at_this_band(x, y):
+        # True iff this group's band is the FIRST band where the two
+        # docs share a bucket: all earlier band fingerprints differ.
+        # Nested and/or over element_at — no per-check array
+        # allocations, short-circuits on the first shared earlier band.
+        cond = F.col("band") == F.lit(n_bands - 1)
+        for j in range(n_bands - 2, -1, -1):
+            cond = (F.element_at(x["_bs"], j + 1) != F.element_at(y["_bs"], j + 1)) & cond
+            cond = (F.col("band") == F.lit(j)) | cond
+        return cond
+
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ca"),
+            lambda x: F.transform(
+                F.filter(
+                    F.col("_cb"),
+                    lambda y: F.when(
+                        F.col("_a") == F.col("_b"), y["doc_id"] > x["doc_id"]
+                    ).otherwise(F.lit(True))
+                    & _new_at_this_band(x, y),
+                ),
+                lambda y: F.struct(
+                    F.least(x["doc_id"], y["doc_id"]).alias("doc_a"),
+                    F.greatest(x["doc_id"], y["doc_id"]).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        chunked.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
     )
 
 

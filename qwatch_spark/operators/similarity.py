@@ -412,24 +412,29 @@ def _ivf_codebook(
     for _ in range(lloyd_iters):
         assigned = assign(vectors, seeds, id_col, vec_col)
         # centroid = per-dimension mean over members; decimal sums make
-        # the float reduction associative → deterministic across runs
-        cent_rows = (
-            assigned.select(
-                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("double").cast(_DEC)).cast("double")
-                    / F.count("*")
-                ).alias("mean")
-            )
-            .groupBy("cell")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "mean"))).alias("ms"))
-            .select("cell", F.col("ms.mean").alias("centroid"))
-            .collect()
-        )
-        new = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
+        # the float reduction associative → deterministic across runs.
+        # One flat aggregation (dim decimal sums + a count per cell)
+        # instead of the former posexplode → (cell, pos) agg →
+        # collect_list re-fold: same exact decimal totals (decimal
+        # addition is order-independent), one exchange instead of two
+        # and no dim× row blowup (r9 optimization; the division to the
+        # float mean moves driver-side — float(exact decimal)/count is
+        # the same IEEE op the old in-plan cast-and-divide performed)
+        aggs = [F.count("*").alias("_n")] + [
+            F.sum(
+                F.element_at(F.col(vec_col), i + 1)
+                .cast("double")
+                .cast(_DEC)
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        cent_rows = assigned.groupBy("cell").agg(*aggs).collect()
+        new = {
+            int(r["cell"]): [
+                float(r[f"_s{i}"]) / r["_n"] for i in range(dim)
+            ]
+            for r in cent_rows
+        }
         seeds = [(c, new.get(c, v)) for c, v in seeds]
 
     return seeds, assign
@@ -472,6 +477,101 @@ def ivf_topk(
         F.col(id_col), cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def _local_index_dir(path: str) -> str | None:
+    """The plain-filesystem path for `path` when the index lives on the
+    local IndexFS, else None (remote stores keep the Spark paths)."""
+    from qwatch_spark.plans.indexfs import LocalIndexFS
+
+    fs = _idx_fs(path)
+    return path if isinstance(fs, LocalIndexFS) else None
+
+
+def _read_seed_rows(spark, data: str, vec_col: str) -> list[tuple[int, list[float]]]:
+    """The `_seeds` snapshot as [(cell, vector), ...] in cell order.
+    Bounded metadata (n_cells rows), read driver-side with pyarrow when
+    the index is local — every probe was paying a whole Spark job for a
+    45-row file (r9 optimization: probe fixed cost, guide §1/§5); remote
+    stores keep the Spark read (the same bytes through `_sp`)."""
+    local = _local_index_dir(data)
+    if local is not None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(local, "_seeds", "*.parquet")))
+        if files:
+            rows: list[tuple[int, list[float]]] = []
+            for f in files:
+                t = pq.read_table(f, columns=["cell", vec_col])
+                cells = t.column("cell").to_pylist()
+                vecs = t.column(vec_col).to_pylist()
+                rows.extend(
+                    (int(c), [float(x) for x in v])
+                    for c, v in zip(cells, vecs)
+                )
+            return sorted(rows)
+    rows_df = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r[vec_col]]) for r in rows_df
+    )
+
+
+def _write_seed_rows(
+    spark, seeds: list[tuple[int, list]], data: str, vec_col: str
+) -> None:
+    """Persist the codebook snapshot to `data/_seeds`. Local indexes
+    write the (bounded, n_cells-row) file driver-side with pyarrow —
+    the Spark `createDataFrame().coalesce(1).write` it replaces was a
+    whole job per build/maintain; remote stores keep the Spark write.
+    Byte compatibility: int64 `cell` + list<double> vector, the exact
+    logical types the Spark write produced, so every reader (Spark scan
+    or the pyarrow fast path above) sees identical values."""
+    local = _local_index_dir(data)
+    if local is not None:
+        import shutil as _shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(local, "_seeds")
+        _shutil.rmtree(d, ignore_errors=True)  # mode("overwrite") parity
+        os.makedirs(d, exist_ok=True)
+        t = pa.table(
+            {
+                "cell": pa.array([int(c) for c, _ in seeds], pa.int64()),
+                vec_col: pa.array(
+                    [[float(x) for x in v] for _, v in seeds],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+        return
+    seed_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in seeds],
+        f"cell bigint, {vec_col} array<double>",
+    )
+    seed_df.coalesce(1).write.mode("overwrite").parquet(_sp(f"{data}/_seeds"))
+
+
+def _local_parquet_rows(paths: list[str]) -> int | None:
+    """Exact row count from parquet FOOTERS for local files — replaces a
+    full Spark count job over the index (metadata only, microseconds per
+    file); None when any path is not locally readable (remote fakes),
+    which sends the caller back to the Spark count."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        if not os.path.isfile(p):
+            return None
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:  # noqa: BLE001 - any unreadable footer → Spark
+            return None
+    return total
 
 
 def _guard_fresh_build(path: str, fn: str, maintain_fn: str) -> None:
@@ -531,11 +631,7 @@ def ivf_build_index(
     # those, not the original seed vectors: probe cell selection and
     # incremental appends quantize against `_seeds`, and a mismatched
     # quantizer silently degrades recall
-    seed_df = vectors.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in seeds],
-        f"cell bigint, {vec_col} array<double>",
-    )
-    seed_df.coalesce(1).write.mode("overwrite").parquet(_sp(f"{path}/_seeds"))
+    _write_seed_rows(vectors.sparkSession, seeds, path, vec_col)
 
 
 def ivf_params_for(
@@ -590,11 +686,11 @@ def ivf_probe_topk(
     `exclude_id` to drop a known corpus row (self-match)."""
     q = np.asarray(query_vec, dtype=np.float64)
     data, _v = _idx_current(path)
-    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
+    seed_rows = _read_seed_rows(spark, data, vec_col)
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
-    cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
-    mat = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    cells = np.asarray([c for c, _ in seed_rows], dtype=np.int64)
+    mat = np.asarray([v for _, v in seed_rows], dtype=np.float64)
     sims = (mat @ q) / (
         np.sqrt((mat * mat).sum(axis=1)) * np.sqrt((q * q).sum())
     )
@@ -686,11 +782,11 @@ def ivf_probe_topk_batch(
     empty = _batch_probe_guard(spark, data, queries, max_batch, id_col)
     if empty is not None:
         return empty
-    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
+    seed_rows = _read_seed_rows(spark, data, vec_col)
     if not seed_rows:
         raise ValueError(f"IVF index at {path} has no seeds")
-    cells = np.asarray([r["cell"] for r in seed_rows], dtype=np.int64)
-    mat = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    cells = np.asarray([c for c, _ in seed_rows], dtype=np.int64)
+    mat = np.asarray([v for _, v in seed_rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     dim = mat.shape[1]
     rows = []
@@ -1249,12 +1345,9 @@ def ivf_index_append(
         if dedup_against_index
         else _idx_current(path)
     )
-    seed_rows = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
-    if not seed_rows:
+    seeds = _read_seed_rows(spark, data, vec_col)
+    if not seeds:
         raise ValueError(f"IVF index at {path} has no seeds")
-    seeds = sorted(
-        (int(r["cell"]), list(r[vec_col])) for r in seed_rows
-    )
     dim = len(seeds[0][1])
     assign = (
         _assign_literal if len(seeds) * dim <= max_literals else _assign_pandas
@@ -1404,7 +1497,7 @@ def ivf_maintain(
     def cell_files() -> set[str]:
         return fs.list_parts(data, ("cell=*",))
 
-    old_seeds = spark.read.parquet(_sp(f"{data}/_seeds")).collect()
+    old_seeds = _read_seed_rows(spark, data, vec_col)
     files0 = cell_files()
     if not files0:
         raise ValueError(f"IVF index at {path} has no data files")
@@ -1413,7 +1506,12 @@ def ivf_maintain(
     corpus = spark.read.parquet(
         *[fs.spark_path(f) for f in sorted(files0)]
     ).select(id_col, vec_col)
-    n = corpus.count()
+    # sizing count from the snapshot's parquet FOOTERS when local —
+    # exact and job-free (r9: the count was a full Spark scan job on
+    # the maintenance path); remote stores keep the Spark count
+    n = _local_parquet_rows(sorted(files0))
+    if n is None:
+        n = corpus.count()
     if n_cells is None:
         if target_cell_rows is not None:
             n_cells = max(1, round(n / max(1, int(target_cell_rows))))
@@ -1473,10 +1571,7 @@ def ivf_maintain(
         # quantize against the NEW codebook and fold via the
         # committer-free move path — a live appender may be writing
         # this same dir right now (see _append_via_move)
-        seeds2 = sorted(
-            (int(r["cell"]), list(r[vec_col]))
-            for r in spark.read.parquet(_sp(f"{vdir}/_seeds")).collect()
-        )
+        seeds2 = _read_seed_rows(spark, vdir, vec_col)
         assign2 = (
             _assign_literal
             if len(seeds2) * len(seeds2[0][1]) <= max_literals
