@@ -489,23 +489,32 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the OLD component rides along as _oc so the convergence probe
+        # below needs no third join back against `labels` (r9: one join
+        # removed per round)
         propagated = labels.join(
             neighbor_min, labels.node == neighbor_min.u, "left"
         ).select(
             "node",
+            F.col("component").alias("_oc"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
         # pointer jump (path halving): component := label(component).
         # Labels only ever shrink toward the component min, so the hop
-        # can never overshoot — it just compresses label chains.
+        # can never overshoot — it just compresses label chains. The
+        # jump table is the propagated frame itself; its subtree repeats
+        # on both join sides, but the shared shuffle is deduplicated by
+        # ReuseExchange, so the round does not recompute neighbor_min.
         lbl = propagated.select(
             F.col("node").alias("_ln"), F.col("component").alias("_lc")
         )
@@ -516,23 +525,24 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
             ).alias("component"),
+            "_oc",
         )
+        # convergence probe via observe() fused into the materialize
+        # write: the former separate count job per round is gone (r9).
+        # Task retries can only INFLATE the observed count (benign: one
+        # extra round); a true fixpoint sums 0 in every task, so the
+        # stop condition is exact.
+        obs = Observation()
         new_labels = materialize(
-            jumped.alias("n")
-            .join(
-                labels.select(
-                    F.col("node").alias("_on"), F.col("component").alias("_oc")
+            jumped.observe(
+                obs,
+                F.sum((F.col("component") < F.col("_oc")).cast("long")).alias(
+                    "chg"
                 ),
-                F.col("n.node") == F.col("_on"),
-            )
-            .select(
-                "node",
-                F.col("n.component").alias("component"),
-                (F.col("n.component") < F.col("_oc")).alias("_changed"),
-            )
+            ).select("node", "component")
         )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
+        changed = obs.get["chg"] or 0
+        labels = new_labels
         if changed == 0:
             # final result must survive the temp-dir cleanup below
             out = labels.localCheckpoint(eager=True)

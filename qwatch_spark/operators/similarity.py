@@ -64,6 +64,23 @@ def cosine_sim(a: Column, b: Column, scale: int = 9) -> Column:
     return F.round(_dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b))), scale)
 
 
+def _py_norm(vec) -> float:
+    """Driver-side replica of sqrt(`_norm_sq`) for one vector — exact to
+    the Column expressions, term for term (same argument as
+    `_lsh_query_buckets`: Decimal(repr(x)) == BigDecimal.valueOf(double),
+    HALF_UP quantize == the decimal(30,15) cast, exact decimal sums both
+    sides, float(Decimal) == Decimal.toDouble, IEEE sqrt both sides)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q15 = Decimal("1e-15")
+    s = Decimal(0)
+    for x in vec:
+        fx = float(x)
+        s += Decimal(repr(fx * fx)).quantize(q15, rounding=ROUND_HALF_UP)
+    return math.sqrt(float(s))
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_id: int,
@@ -702,7 +719,15 @@ def ivf_probe_topk(
         idx = idx.filter(F.col(id_col) != exclude_id)
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = idx.select(
-        F.col(id_col), cosine_sim(F.col(vec_col), qarr).alias("cosine")
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), qarr)
+            / (
+                F.sqrt(_norm_sq(F.col(vec_col)))
+                * F.lit(_py_norm(query_vec))
+            ),
+            9,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
@@ -800,22 +825,33 @@ def ivf_probe_topk_batch(
         sims = (mat @ q) / (norms * np.sqrt((q * q).sum()))
         order = np.lexsort((cells, -np.round(sims, 9)))
         qv = [float(x) for x in vec]
+        qn = _py_norm(qv)
         for c in cells[order][:n_probe]:
-            rows.append((int(qid), int(c), qv))
+            rows.append((int(qid), int(c), qv, qn))
     qdf = spark.createDataFrame(
-        rows, "query_id long, cell int, qvec array<double>"
+        rows, "query_id long, cell int, qvec array<double>, qnorm double"
     )
-    probe_cells = sorted({c for _qid, c, _qv in rows})
+    probe_cells = sorted({r[1] for r in rows})
     idx = spark.read.parquet(_sp(data)).filter(F.col("cell").isin(probe_cells))
-    cand = idx.select("cell", id_col, vec_col).join(
-        F.broadcast(qdf), ["cell"]
-    )
+    # candidate norm once per scan row + driver-side query norms —
+    # bit-identical to cosine_sim (see the lsh batch probe; same r9
+    # optimization)
+    cand = idx.select(
+        "cell",
+        id_col,
+        vec_col,
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("_nrm"),
+    ).join(F.broadcast(qdf), ["cell"])
     if exclude_query_id:
         cand = cand.filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col),
-        cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col("qvec"))
+            / (F.col("_nrm") * F.col("qnorm")),
+            9,
+        ).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -1059,7 +1095,15 @@ def lsh_probe_topk(
     cand = idx.select(id_col, vec_col).dropDuplicates([id_col])
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
-        F.col(id_col), cosine_sim(F.col(vec_col), qarr).alias("cosine")
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), qarr)
+            / (
+                F.sqrt(_norm_sq(F.col(vec_col)))
+                * F.lit(_py_norm(query_vec))
+            ),
+            9,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
@@ -1125,15 +1169,18 @@ def lsh_probe_topk_batch(
                 f"{path} was built with dim={dim}"
             )
         qv = [float(x) for x in vec]
+        qn = _py_norm(qv)
         for band, bucket in _lsh_query_buckets(
             n_planes, n_bands, dim, seed, qv
         ):
-            rows.append((int(qid), band, bucket, qv))
+            rows.append((int(qid), band, bucket, qv, qn))
     qdf = spark.createDataFrame(
-        rows, "query_id long, band int, bucket int, qvec array<double>"
+        rows,
+        "query_id long, band int, bucket int, qvec array<double>, "
+        "qnorm double",
     )
     by_band: dict[int, set[int]] = {}
-    for _qid, band, bucket, _qv in rows:
+    for _qid, band, bucket, _qv, _qn in rows:
         by_band.setdefault(band, set()).add(bucket)
     pred = None
     for band in sorted(by_band):
@@ -1142,16 +1189,32 @@ def lsh_probe_topk_batch(
         )
         pred = c if pred is None else pred | c
     idx = spark.read.parquet(_sp(data)).filter(pred)
-    cand = idx.select("band", "bucket", id_col, vec_col).join(
-        F.broadcast(qdf), ["band", "bucket"]
-    )
+    # candidate norm ONCE per scan row (a candidate is scored against
+    # every query that probed its bucket — the norm does not change)
+    # and query norms computed driver-side (exact replica, _py_norm):
+    # only the dot's decimal chain remains per pair — 1 of cosine_sim's
+    # 3 per-pair reductions, bit-identical values (r9 optimization;
+    # a fully unrolled element_at chain was ALSO tried and measured
+    # SLOWER than the higher-order form — BigDecimal-allocation bound
+    # either way, so fewer chains is the lever, not codegen).
+    cand = idx.select(
+        "band",
+        "bucket",
+        id_col,
+        vec_col,
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("_nrm"),
+    ).join(F.broadcast(qdf), ["band", "bucket"])
     if exclude_query_id:
         cand = cand.filter(F.col(id_col) != F.col("query_id"))
     scored = (
         cand.select(
             "query_id",
             F.col(id_col),
-            cosine_sim(F.col(vec_col), F.col("qvec")).alias("cosine"),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (F.col("_nrm") * F.col("qnorm")),
+                9,
+            ).alias("cosine"),
         )
         # fold multi-band collisions AFTER scoring: partial aggregation
         # shrinks each task's output to one row per (query, candidate)
@@ -1195,15 +1258,31 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # norms BELOW the pair joins: a doc participates in many candidate
+    # pairs, so its norm reduction runs once per doc-side row instead of
+    # once per pair (bit-identical cosine — same expressions, same
+    # operand order; r9 optimization, same lever as the batch probes)
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("_nb"),
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_na") * F.col("_nb")),
+                9,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
