@@ -29,10 +29,33 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = " "
 
 
+def _spread_small_input(docs: DataFrame) -> DataFrame:
+    """Round-robin an UNDER-SPLIT document scan across the executor pool
+    before the tokenize/shingle explode multiplies it ~50-300×.
+
+    A small corpus slice often arrives as 1-2 scan partitions (one
+    parquet file under maxPartitionBytes), which serializes the entire
+    map side of every set-based operator — explode, the per-pair hash
+    family, partial aggregation — into one task (measured: the whole
+    minhash pipeline's 2.4 s at sf0.1 was one core). Scale-adaptive per
+    the round rules: only fires when the scan has fewer than half the
+    pool's partitions, so a real corpus (parts ≫ cores) never pays a
+    raw-document shuffle; the round-robin assignment is deterministic
+    under retries (sortBeforeRepartition, on by default)."""
+    sc = docs.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = docs.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - planning-only probe; never fatal
+        return docs
+    return docs.repartition(p) if n < max(2, p // 2) else docs
+
+
 def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, word) distinct pairs — the shared shuffle for set-based ops."""
     return (
-        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        _spread_small_input(docs)
+        .select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
     )
@@ -47,7 +70,8 @@ def doc_shingles(
         F.sequence(F.lit(1), F.length(text_col) - (n - 1))
     ).alias("i")
     return (
-        docs.select(id_col, F.col(text_col), idx)
+        _spread_small_input(docs)
+        .select(id_col, F.col(text_col), idx)
         .select(id_col, F.col(text_col).substr(F.col("i"), F.lit(n)).alias("word"))
         .distinct()
     )
@@ -68,7 +92,8 @@ def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     within float64 (no accumulation-order dependence: tf and df are
     integer aggregates, the product is one scalar op)."""
     words = (
-        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        _spread_small_input(docs)
+        .select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
     )
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
@@ -227,24 +252,40 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4)
     # Pair-space blocking: a single hot bucket's C(m,2) pair space would
     # otherwise be generated by ONE task (the self-join form had the
     # same skew — all rows of a join key land in one partition). Each
-    # member belongs to block pmod(doc_id, T); the bucket's pair space
+    # member belongs to block pmod(doc_id, T); a hot bucket's pair space
     # is the union of the T*(T+1)/2 block pairs (a <= b), each emitted
     # as its own row and hash-spread across the cluster by the
-    # repartition below, so a hot bucket parallelizes T*(T+1)/2 ways.
+    # repartition below, so it parallelizes T*(T+1)/2 ways. CONDITIONAL:
+    # buckets under BLOCK_MIN members stay ONE row (sentinel block
+    # (-1,-1) = the whole member list) — a realistic sparse corpus has
+    # thousands of tiny buckets, and blocking every one of them
+    # multiplied rows 36× for nothing (measured: the realistic-corpus
+    # bench entry 0.64 s → 1.14 s with unconditional blocking, back
+    # under it with the size gate; the dense fixture's ~2,300-doc hot
+    # buckets stay blocked).
     T = 8
+    BLOCK_MIN = 256
     block_pairs = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                for a in range(T)
-                for b in range(a, T)
-            ]
+        F.when(
+            F.size("_ds") < BLOCK_MIN,
+            F.array(F.struct(F.lit(-1).alias("a"), F.lit(-1).alias("b"))),
+        ).otherwise(
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a in range(T)
+                    for b in range(a, T)
+                ]
+            )
         )
     )
 
     def _chunk(g):
-        return F.filter(
-            F.col("_ds"), lambda x: F.pmod(x["doc_id"], F.lit(T)) == g
+        # sentinel block -1 = the whole (small) bucket, unsplit
+        return F.when(g == -1, F.col("_ds")).otherwise(
+            F.filter(
+                F.col("_ds"), lambda x: F.pmod(x["doc_id"], F.lit(T)) == g
+            )
         )
 
     chunked = (
