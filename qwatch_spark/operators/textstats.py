@@ -131,9 +131,14 @@ def winnow_fingerprints(
     any SQL engine reproduces it exactly."""
     from pyspark.sql import Window as W
 
+    from qwatch_spark.operators.dedup_text import _spread_small_input
+
     n = (F.length("text") - (k - 1)).alias("n")
     idx = F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i")
-    grams = docs.select(id_col, F.col("text"), n, idx).select(
+    # spread an under-split scan before the per-position explode + md5
+    # (same lever as doc_words — the k-gram hashing is ~len(text)× the
+    # input and otherwise runs in the scan's 1-2 partitions)
+    grams = _spread_small_input(docs).select(id_col, F.col("text"), n, idx).select(
         id_col,
         "n",
         F.col("i"),

@@ -75,11 +75,59 @@ def _cdc_updates(spark):
     return snap
 
 
+def _lsh_probe_batch(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_topk_batch,
+    )
+
+    emb = q.ld(spark, SF, "embeddings")
+    path = tempfile.mkdtemp(prefix="dump_lsh_")
+    lsh_build_index(emb, path, n_planes=16, n_bands=8)
+    rows = emb.filter(F.col("vec_id") < 8).collect()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    ]
+    return lsh_probe_topk_batch(spark, path, queries, k=10, exclude_query_id=True)
+
+
+def _ivf_probe_batch(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qwatch_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_topk_batch,
+    )
+
+    emb = q.ld(spark, SF, "embeddings")
+    path = tempfile.mkdtemp(prefix="dump_ivf_")
+    ivf_build_index(emb, path, n_cells=8)
+    rows = emb.filter(F.col("vec_id") < 8).collect()
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    ]
+    return ivf_probe_topk_batch(
+        spark, path, queries, k=10, n_probe=2, exclude_query_id=True
+    )
+
+
 NAMED = {
     "q28_lsh_candidate_pairs": lambda s: q.q28_lsh_candidate_pairs(s, SF),
     "q27_minhash_signatures": lambda s: q.q27_minhash_signatures(s, SF),
     "near_dup_refine_500docs": _near_dup,
     "cdc_updates": _cdc_updates,
+    "q29_simhash": lambda s: q.q29_simhash(s, SF),
+    "q33_embedding_near_dups": lambda s: q.q33_embedding_near_dups(s, SF),
+    "q47_tfidf": lambda s: q.q47_tfidf(s, SF),
+    "q53_winnow_fingerprints": lambda s: q.q53_winnow_fingerprints(s, SF),
+    "lsh_probe_batch": _lsh_probe_batch,
+    "ivf_probe_batch": _ivf_probe_batch,
 }
 
 
