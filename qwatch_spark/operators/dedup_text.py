@@ -52,9 +52,14 @@ def _spread_small_input(docs: DataFrame) -> DataFrame:
 
 
 def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, word) distinct pairs — the shared shuffle for set-based ops."""
+    """(doc_id, word) distinct pairs — the shared shuffle for set-based ops.
+    No input spread here: for the light one-aggregation consumers
+    (simhash, sizes, tf) the extra exchange + stage costs more than the
+    map-side parallelism buys (measured: q29 0.70 s -> 0.93 s with it);
+    heavy pipelines spread their OWN input (lsh_candidate_pairs,
+    winnow_fingerprints — both measured wins)."""
     return (
-        _spread_small_input(docs)
+        docs
         .select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
@@ -70,8 +75,7 @@ def doc_shingles(
         F.sequence(F.lit(1), F.length(text_col) - (n - 1))
     ).alias("i")
     return (
-        _spread_small_input(docs)
-        .select(id_col, F.col(text_col), idx)
+        docs.select(id_col, F.col(text_col), idx)
         .select(id_col, F.col(text_col).substr(F.col("i"), F.lit(n)).alias("word"))
         .distinct()
     )
@@ -92,8 +96,7 @@ def tfidf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     within float64 (no accumulation-order dependence: tf and df are
     integer aggregates, the product is one scalar op)."""
     words = (
-        _spread_small_input(docs)
-        .select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
     )
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
@@ -218,7 +221,14 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4)
     hot bucket still lands in one task — same as the self-join form;
     raise bits per band (see the tuning note above) if buckets outgrow
     tasks."""
-    sig = minhash_signatures(docs, n_hashes)
+    # spread an under-split scan before the tokenize explode: the
+    # signature pipeline's map side (explode + 16-hash family + partial
+    # distinct) is heavy enough that the small extra exchange pays for
+    # itself (measured: q28 4.7-5.0 s -> 3.6-3.9 s; the light
+    # one-aggregation consumers of doc_words measured the OPPOSITE,
+    # which is why the spread lives here and in winnowing, not inside
+    # doc_words)
+    sig = minhash_signatures(_spread_small_input(docs), n_hashes)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

@@ -1696,6 +1696,14 @@ def _index_vacuum(
     _data, cur = _idx_current(path)
     if cur < 0:
         return []  # nothing versioned yet — nothing is superseded
+    # crashed-fold guard (r8 verdict #1): while the CURRENT version still
+    # carries its `_folding` marker, appends committed mid-rebuild exist
+    # ONLY in the superseded dirs the fold was reading — retiring those
+    # dirs would silently delete the delta rows from the serving index
+    # with no error anywhere. Skip every data-dir deletion until a
+    # re-run of maintenance lands the fold and clears the marker;
+    # published-claim junk is still cleaned (claims carry no data).
+    fold_pending = fs.exists(_fold_marker(_data))
     removed = []
     now = _time.time()
     root = path.rstrip("/")
@@ -1718,6 +1726,8 @@ def _index_vacuum(
             continue
         if not (m or legacy):
             continue
+        if fold_pending:
+            continue  # un-folded delta may live here — see guard above
         if now - fs.tree_mtime(full) < retention_s:
             continue
         fs.delete_tree(full)

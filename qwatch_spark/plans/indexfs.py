@@ -52,6 +52,7 @@ import fnmatch
 import json
 import os
 import uuid
+import time
 
 
 class IndexFS:
@@ -164,8 +165,14 @@ class LocalIndexFS(IndexFS):
         try:
             with open(os.path.join(self._local(path), "_current")) as fh:
                 return int(json.load(fh)["version"])
-        except (OSError, ValueError, KeyError):
-            return -1
+        except (FileNotFoundError, NotADirectoryError):
+            return -1  # no pointer: the legacy flat layout
+        except (ValueError, KeyError):
+            return -1  # corrupt pointer, matching the S3 twin
+        # any other OSError (EACCES, EIO, ...) PROPAGATES: treating a
+        # transient I/O error as "legacy layout" would send an append's
+        # delta files into the index ROOT of a versioned index —
+        # invisible to every probe and to the next fold (r8 verdict #2)
 
     def pointer_publish(self, path: str, version: int) -> None:
         path = self._local(path)
@@ -277,7 +284,13 @@ class LocalIndexFS(IndexFS):
 
     def tree_mtime(self, d: str) -> float:
         d = self._local(d)
-        mt = os.path.getmtime(d)
+        try:
+            mt = os.path.getmtime(d)
+        except OSError:
+            # vanished under a racing vacuum/maintainer: report "just
+            # now" so the caller's retention window skips it instead of
+            # the race surfacing as an OSError out of *_vacuum
+            return time.time()
         for root, _dirs, files in os.walk(d):
             mt = max(mt, os.path.getmtime(root))
             for f in files:
@@ -336,7 +349,10 @@ class S3IndexFS(IndexFS):
         try:
             resp = self.client.get_object(Bucket=bucket, Key=key)
         except Exception as exc:
-            if self._code(exc) == "NoSuchKey":
+            # some S3-compatible stores (and botocore behind certain
+            # proxies) surface bare-"404"/"NotFound" codes on GET — the
+            # same set exists() accepts (r8 verdict #3)
+            if self._code(exc) in ("NoSuchKey", "404", "NotFound"):
                 return None
             raise
         return resp["Body"].read().decode()
@@ -409,7 +425,7 @@ class S3IndexFS(IndexFS):
         try:
             resp = self.client.get_object(Bucket=bucket, Key=key)
         except Exception as exc:
-            if self._code(exc) == "NoSuchKey":
+            if self._code(exc) in ("NoSuchKey", "404", "NotFound"):
                 return None
             raise
         return resp["Body"].read()
@@ -604,13 +620,32 @@ def indexfs_spec(path: str):
     return ("local", None)
 
 
-def indexfs_from_spec(spec) -> IndexFS:
-    """Worker-side counterpart of `indexfs_spec`."""
-    kind, factory = spec
-    if kind == "local":
-        return LocalIndexFS()
-    if factory is not None:
-        return S3IndexFS(factory())
-    import boto3  # type: ignore[import-not-found]  # pragma: no cover
+# worker-side memo: constructing a real boto3 client costs tens of ms,
+# and the fp-bloom probe UDF resolves its IndexFS once per Arrow batch —
+# the same per-call cost the driver-side _S3_FS_CACHE exists to avoid.
+# Keyed by the spec's identity (kind, factory); reused Python workers
+# (spark.python.worker.reuse) keep it across tasks.
+_SPEC_FS_CACHE: dict[tuple, IndexFS] = {}
 
-    return S3IndexFS(boto3.client("s3"))  # pragma: no cover
+
+def indexfs_from_spec(spec) -> IndexFS:
+    """Worker-side counterpart of `indexfs_spec` (memoized per spec)."""
+    kind, factory = spec
+    key = (kind, factory)
+    try:
+        return _SPEC_FS_CACHE[key]
+    except (KeyError, TypeError):
+        pass  # TypeError: unhashable factory — build fresh each call
+    if kind == "local":
+        fs: IndexFS = LocalIndexFS()
+    elif factory is not None:
+        fs = S3IndexFS(factory())
+    else:  # pragma: no cover - real cluster default
+        import boto3  # type: ignore[import-not-found]
+
+        fs = S3IndexFS(boto3.client("s3"))
+    try:
+        _SPEC_FS_CACHE[key] = fs
+    except TypeError:  # pragma: no cover - unhashable factory
+        pass
+    return fs
