@@ -323,6 +323,7 @@ def apply_entity_changes(
     cfg: PipelineConfig | None = None,
     type_col: str = "entity_type",
     parallel: bool = True,
+    cache_batch: bool = True,
 ) -> dict[str, ApplyStats]:
     """Route one discriminated batch to every entity (and link) table —
     one idempotent epoch-tagged apply per table.
@@ -341,6 +342,16 @@ def apply_entity_changes(
     claimed = {
         f.name for s in specs for f in s.payload_schema.fields
     }
+    # the batch fans out to one routing filter per entity PLUS skeleton
+    # derivation per FK and link derivation — 4+ independent plans that
+    # would each recompute the feed. Persist once per epoch (bounded by
+    # the epoch size, spills past storage memory, dropped in the finally
+    # below); `cache_batch=False` for callers that already persisted the
+    # batch themselves (the streaming runner's foreachBatch does).
+    from pyspark import StorageLevel
+
+    if cache_batch:
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     routed = {
         s.name: route_entity(batch, s, type_col, claimed=claimed) for s in specs
     }
@@ -365,16 +376,22 @@ def apply_entity_changes(
             (lk.name, derive_links(routed[lk.src_entity], lk, by_name[lk.src_entity]))
         )
 
-    if not parallel or len(jobs) == 1:
-        return {
-            name: apply_changes(spark, df, tables[name], epoch_id, cfg)
-            for name, df in jobs
-        }
-    from concurrent.futures import ThreadPoolExecutor
+    try:
+        if not parallel or len(jobs) == 1:
+            return {
+                name: apply_changes(spark, df, tables[name], epoch_id, cfg)
+                for name, df in jobs
+            }
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
-        futures = {
-            name: ex.submit(apply_changes, spark, df, tables[name], epoch_id, cfg)
-            for name, df in jobs
-        }
-        return {name: f.result() for name, f in futures.items()}
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+            futures = {
+                name: ex.submit(
+                    apply_changes, spark, df, tables[name], epoch_id, cfg
+                )
+                for name, df in jobs
+            }
+            return {name: f.result() for name, f in futures.items()}
+    finally:
+        if cache_batch:
+            batch.unpersist()

@@ -273,6 +273,10 @@ def run_entity_stream(
                     {n: SnapshotTable(t.path) for n, t in tables.items()},
                     epoch_id,
                     links=list(links or []), cfg=cfg, type_col=type_col,
+                    # the micro-batch is already persisted by _apply;
+                    # a second cache of the filtered view would double
+                    # the epoch's storage footprint for nothing
+                    cache_batch=False,
                 )
             )
         )
