@@ -51,6 +51,16 @@ def _spread_small_input(docs: DataFrame) -> DataFrame:
     return docs.repartition(p) if n < max(2, p // 2) else docs
 
 
+def _shuffle_width(spark) -> int:
+    """The session's configured shuffle width (falls back to the pool
+    size) — for exchanges that must pin an explicit partition count to
+    stay out of AQE's byte-based coalescing."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def doc_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, word) distinct pairs — the shared shuffle for set-based ops.
     No input spread here: for the light one-aggregation consumers
@@ -250,7 +260,10 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4)
         "doc_id", "_bs", F.posexplode(F.col("_bs")).alias("band", "bucket")
     )
     grouped = (
-        exploded.groupBy("band", "bucket")
+        exploded.repartition(
+            _shuffle_width(docs.sparkSession), "band", "bucket"
+        )
+        .groupBy("band", "bucket")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("doc_id"), F.col("_bs")))
@@ -309,7 +322,20 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 16, band_size: int = 4)
             _chunk(F.col("_ab.b")).alias("_cb"),
         )
         .filter((F.size("_ca") > 0) & (F.size("_cb") > 0))
-        .repartition("band", "bucket", "_a", "_b")
+        # EXPLICIT partition count, pinned to the session's configured
+        # shuffle width: a column-only repartition is fair game for
+        # AQE's byte-based partition coalescing, and the grouped rows
+        # here are tiny in BYTES while carrying QUADRATIC pair-gen
+        # work — compute skew invisible to size stats. Measured at
+        # sf0.1: AQE merged this exchange to 2 partitions, so the
+        # blocked hot buckets' 36-way spread ran as 2 tasks (q28's
+        # final stage). REPARTITION_BY_NUM is exempt from coalescing;
+        # the count follows the session's shuffle-partition knob
+        # (scale-adaptive: pool-sized locally, the tuned width on a
+        # cluster), never a constant.
+        .repartition(
+            _shuffle_width(docs.sparkSession), "band", "bucket", "_a", "_b"
+        )
     )
 
     def _new_at_this_band(x, y):
